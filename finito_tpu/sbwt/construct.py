@@ -1,0 +1,131 @@
+"""In-memory plain-matrix SBWT construction from a string set.
+
+TPU-native replacement for the reference's (absent) SBWT submodule
+``NodeBOSSInMemoryConstructor<plain_matrix_sbwt_t>::build``
+(call site: /root/reference/src/tests.cpp:44-46). Semantics reconstructed
+from the node tables annotated in the reference's tests
+(/root/reference/src/tests.cpp:110-123, 198-211) and pinned by the literal
+LCS/Ustart/fmin fixtures there:
+
+  * node set = all k-mers of the input strings, plus for every *source*
+    k-mer x (one whose (k-1)-prefix is not the (k-1)-suffix of any k-mer)
+    the $-padded dummy prefixes $^(k-j) x[0:j] for j = 1..k-1, plus the
+    root $^k, deduplicated;
+  * nodes sorted colexicographically with $ < A < C < G < T;
+  * out-edge bit c set on node v iff v is the first node of its
+    (k-1)-suffix group and (suffix + c) is a node ("subset matrix" with
+    edge pruning so each node has exactly one in-edge);
+  * C[c] = colex rank of the first node whose label ends with c
+    = 1 + number of edges labeled < c.
+
+Everything here is vectorized NumPy over small code matrices -- the
+construction is host-side (index build is one-time); the resulting arrays
+are uploaded to the device by finito_tpu.ops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from finito_tpu.io.seqdb import encode_seq
+from finito_tpu.sbwt.sbwt import PlainMatrixSBWT
+
+
+def _row_bytes_view(mat: np.ndarray) -> np.ndarray:
+    """View (n, w) uint8 rows as one fixed-width bytes scalar per row.
+
+    Only used for equality / membership (byte order != colex order).
+    Safe despite NUL-padding semantics because all rows have equal width.
+    """
+    mat = np.ascontiguousarray(mat)
+    if mat.shape[1] == 0:
+        return np.zeros(mat.shape[0], dtype="S1")
+    return mat.view(np.dtype(f"S{mat.shape[1]}")).reshape(mat.shape[0])
+
+
+def _colex_sort_rows(mat: np.ndarray) -> np.ndarray:
+    """Indices sorting rows colexicographically (compare last column first)."""
+    if mat.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    # np.lexsort: last key is primary => pass columns first..last.
+    return np.lexsort(tuple(mat[:, i] for i in range(mat.shape[1])))
+
+
+def _dedupe_sorted_rows(mat: np.ndarray) -> np.ndarray:
+    if mat.shape[0] <= 1:
+        return mat
+    keep = np.ones(mat.shape[0], dtype=bool)
+    keep[1:] = np.any(mat[1:] != mat[:-1], axis=1)
+    return mat[keep]
+
+
+def enumerate_kmers(seqs: Sequence[bytes], k: int) -> np.ndarray:
+    """All distinct k-mers as colex-sorted (n, k) code rows (A=1..T=4)."""
+    mats: List[np.ndarray] = []
+    for s in seqs:
+        codes = encode_seq(s if isinstance(s, bytes) else s.encode())
+        if np.any(codes == 255):
+            raise ValueError("Invalid character in input sequence (only ACGT allowed)")
+        if codes.size >= k:
+            mats.append(np.lib.stride_tricks.sliding_window_view(codes + 1, k))
+    if not mats:
+        return np.zeros((0, k), dtype=np.uint8)
+    kmers = np.vstack(mats)
+    kmers = kmers[_colex_sort_rows(kmers)]
+    return _dedupe_sorted_rows(kmers)
+
+
+def build_plain_matrix_sbwt(seqs: Sequence[bytes], k: int) -> PlainMatrixSBWT:
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    kmers = enumerate_kmers(seqs, k)
+    n_kmers = kmers.shape[0]
+
+    # Sources: k-mers whose (k-1)-prefix has no matching (k-1)-suffix.
+    suffix_bytes = np.unique(_row_bytes_view(kmers[:, 1:]))
+    prefix_bytes = _row_bytes_view(kmers[:, :-1])
+    is_source = ~np.isin(prefix_bytes, suffix_bytes)
+
+    # Dummy nodes: root + $-padded prefixes of all source k-mers.
+    src = kmers[is_source]
+    dummy_parts = [np.zeros((1, k), dtype=np.uint8)]  # root $^k
+    for j in range(1, k):
+        rows = np.zeros((src.shape[0], k), dtype=np.uint8)
+        rows[:, k - j :] = src[:, :j]
+        dummy_parts.append(rows)
+    dummies = np.vstack(dummy_parts)
+    dummies = dummies[_colex_sort_rows(dummies)]
+    dummies = _dedupe_sorted_rows(dummies)
+
+    nodes = np.vstack([kmers, dummies])
+    nodes = nodes[_colex_sort_rows(nodes)]
+    n_nodes = nodes.shape[0]
+
+    # Suffix-group firsts (nodes sharing label[1:] are colex-consecutive).
+    first_of_group = np.ones(n_nodes, dtype=bool)
+    if n_nodes > 1:
+        first_of_group[1:] = np.any(nodes[1:, 1:] != nodes[:-1, 1:], axis=1)
+
+    # In-edge of every non-root node y: bit c=y[-1] at the first node of
+    # the group whose shared (k-1)-suffix equals y[:-1].
+    group_idx = np.flatnonzero(first_of_group)
+    group_suffix_bytes = _row_bytes_view(nodes[group_idx][:, 1:])
+    order = np.argsort(group_suffix_bytes)  # byte order: consistent both sides
+    sorted_group_bytes = group_suffix_bytes[order]
+
+    non_root = nodes[:, -1] != 0  # only the root $^k ends with $
+    y_prefix_bytes = _row_bytes_view(nodes[:, :-1])[non_root]
+    y_char = nodes[non_root, -1].astype(np.int64) - 1  # 0..3
+    pos = np.searchsorted(sorted_group_bytes, y_prefix_bytes)
+    if np.any(pos >= sorted_group_bytes.size) or np.any(
+        sorted_group_bytes[np.minimum(pos, sorted_group_bytes.size - 1)] != y_prefix_bytes
+    ):
+        raise AssertionError("SBWT construction: missing predecessor group")
+    target_first = group_idx[order[pos]]
+
+    bit_rows = np.zeros((4, n_nodes), dtype=np.uint8)
+    bit_rows[y_char, target_first] = 1
+
+    return PlainMatrixSBWT.from_bit_rows(bit_rows, k=k, n_kmers=n_kmers)
