@@ -1,0 +1,374 @@
+"""Command-line interface: build-fmin / search-fmin / sbwt-build.
+
+Drop-in equivalent of the reference binary's dispatcher and commands
+(ref: /root/reference/src/main.cpp:21-59,
+      /root/reference/include/build_fmin.hh:302-402,
+      /root/reference/include/search_fmin.hh:130-213), with the same
+flags, `.txt` file-of-files fan-out, output line format `(u,p) (u,p)...`,
+and stats-file layouts (including the reference's odd stats file naming:
+`<index>.stats` and `<index>stats.txt` without a dot). `sbwt-build`
+replaces the external `sbwt build` pipeline step (README.md:29-33),
+writing a "plain-matrix" variant-string-prefixed .sbwt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from finito_tpu.utils.logging import LogLevel, cur_time_micros, set_log_level, write_log
+
+AVAILABLE_TYPES = ["rarest", "shortest", "verify"]
+
+
+def readlines(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def check_readable(path: str) -> None:
+    if not os.path.isfile(path) or not os.access(path, os.R_OK):
+        raise RuntimeError(f"Error: file not readable: {path}")
+
+
+def check_writable(path: str) -> None:
+    d = os.path.dirname(path) or "."
+    if not os.access(d, os.W_OK):
+        raise RuntimeError(f"Error: file not writable: {path}")
+
+
+def _expand_file_list(arg: str) -> List[str]:
+    """'.txt' extension = list of files, one per line (ref: build_fmin.hh:338-343)."""
+    if len(arg) >= 4 and arg.endswith(".txt"):
+        return readlines(arg)
+    return [arg]
+
+
+# --------------------------------------------------------------- sbwt-build
+
+
+def sbwt_build(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="finito sbwt-build",
+        description="Build a plain-matrix SBWT from a FASTA/FASTQ string set "
+        "(replaces the reference pipeline's external `sbwt build`).",
+    )
+    p.add_argument("-i", "--in-file", required=True, help="Input FASTA/FASTQ (possibly gzipped)")
+    p.add_argument("-o", "--out-file", required=True, help="Output .sbwt path")
+    p.add_argument("-k", type=int, required=True, help="k-mer length")
+    args = p.parse_args(argv)
+
+    from finito_tpu.io import sdsl
+    from finito_tpu.io.fastx import read_all_records
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+
+    check_readable(args.in_file)
+    seqs = [s for _h, s in read_all_records(args.in_file)]
+    write_log(f"Building plain-matrix SBWT over {len(seqs)} sequences, k={args.k}", LogLevel.MAJOR)
+    sbwt = build_plain_matrix_sbwt(seqs, args.k)
+    with open(args.out_file, "wb") as f:
+        sdsl.serialize_string(f, "plain-matrix")
+        sbwt.serialize(f)
+    write_log(
+        f"Wrote {args.out_file}: {sbwt.number_of_subsets()} nodes, "
+        f"{sbwt.number_of_kmers()} k-mers",
+        LogLevel.MAJOR,
+    )
+    return 0
+
+
+# --------------------------------------------------------------- build-fmin
+
+
+def build_fmin(argv: List[str]) -> int:
+    set_log_level(LogLevel.MINOR)
+    p = argparse.ArgumentParser(
+        prog="finito build-fmin", description="Find all Finimizers of all input reads."
+    )
+    p.add_argument("-o", "--out-file", required=True, help="Output index filename prefix.")
+    p.add_argument("-i", "--index-file", required=True, help="SBWT file (plain-matrix binary).")
+    p.add_argument(
+        "-u", "--in-file", required=True,
+        help="SPSS in FASTA/FASTQ, possibly gzipped; .txt = list of input files.",
+    )
+    p.add_argument("--type", default="rarest", choices=AVAILABLE_TYPES)
+    p.add_argument("-t", type=int, default=1, help="Maximum finimizer frequency")
+    p.add_argument("--lcs", default="", help="Optional precomputed LCS file")
+    args = p.parse_args(argv)
+
+    from finito_tpu.index.builder import FinimizerIndexBuilder, finimizer_stats_string
+    from finito_tpu.io import sdsl
+    from finito_tpu.io.fastx import SequenceReader
+    from finito_tpu.io.seqdb import SeqDB, encode_seq
+    from finito_tpu.sbwt.lcs import lcs_array
+    from finito_tpu.sbwt.sbwt import PlainMatrixSBWT
+    from finito_tpu import stats_modes
+
+    # The reference truncates t through a char (build_fmin.hh:333).
+    t = int(np.int64(args.t).astype(np.int8))
+
+    input_files = _expand_file_list(args.in_file)
+    for f in input_files:
+        check_readable(f)
+    out_prefix = args.out_file
+
+    check_readable(args.index_file)
+    with open(args.index_file, "rb") as f:
+        variant = sdsl.load_string(f)
+        if variant != "plain-matrix":
+            sys.stderr.write(
+                "Error loading index from file: unrecognized variant specified in the file\n"
+            )
+            return 1
+        write_log("Loading the index variant " + variant, LogLevel.MAJOR)
+        sbwt = PlainMatrixSBWT.load(f)
+
+    lcs_file = args.lcs
+    if not lcs_file:
+        sys.stderr.write("LCS_file empty\n")
+        lcs_file = out_prefix + ".LCS.sdsl"
+        lcs = lcs_array(sbwt)
+        from finito_tpu.utils.bits import bit_width_for_max
+
+        sdsl.save_int_vector(lcs_file, lcs, bit_width_for_max(sbwt.get_k() - 1))
+    LCS = sdsl.load_int_vector(lcs_file).values.astype(np.int64)
+    sys.stderr.write("LCS_file loaded\n")
+
+    if len(input_files) > 1:
+        # The reference's multi-file build is broken (moved-from SBWT on the
+        # second file, build_fmin.hh:288-296); we reject it explicitly.
+        raise RuntimeError(
+            "build-fmin supports a single input file (the reference's multi-file "
+            "build path is non-functional); concatenate inputs or build per file."
+        )
+    infile = input_files[0]
+    write_log(
+        f"Searching Finimizers from input file {infile} to index prefix {out_prefix}",
+        LogLevel.MAJOR,
+    )
+
+    result = ""
+    if args.type == "rarest":
+        if t != 1:
+            raise RuntimeError("t != 1 does not make sense with rarest type")
+        db = SeqDB.from_file(infile)
+        builder = FinimizerIndexBuilder(sbwt, LCS, db)
+        index = builder.get_index()
+        index.serialize(out_prefix)
+        write_log(
+            finimizer_stats_string(builder.finimizer_stats, sbwt.number_of_kmers()),
+            LogLevel.MAJOR,
+        )
+        # NOTE: like the reference, the rarest path leaves the appended
+        # stats result string empty (run_fmin_streaming never sets it).
+    elif args.type == "shortest":
+        with SequenceReader(infile) as reader:
+            stats = stats_modes.shortest_finimizer_stats_string(sbwt, LCS, reader, t)
+        result = finimizer_stats_string(stats, sbwt.number_of_kmers())
+        write_log(result, LogLevel.MAJOR)
+    elif args.type == "verify":
+        stats = set()
+        with SequenceReader(infile) as reader:
+            for _h, seq in reader:
+                for piece in stats_modes.remove_ns(bytes(seq).upper(), sbwt.get_k()):
+                    stats |= stats_modes.verify_shortest_streaming_search(
+                        sbwt, encode_seq(piece), t
+                    )
+        result = finimizer_stats_string(stats, sbwt.number_of_kmers())
+        write_log(result, LogLevel.MAJOR)
+
+    with open(out_prefix + "_stats.txt", "a") as outfile:
+        outfile.write(f"{t},{result}\n")
+    print("String appended to the file successfully.")
+    return 0
+
+
+# -------------------------------------------------------------- search-fmin
+
+
+def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None) -> int:
+    """Per-read fwd+RC query, merge, and (u,p) output
+    (ref: search_fmin.hh:33-84)."""
+    from finito_tpu.io.fastx import reverse_complement
+
+    k = index.sbwt.get_k()
+    total_micros = 0
+    number_of_queries = 0
+    kmers_count = 0
+    kmers_count_rev = 0
+    total_positive = 0
+
+    for _h, read in reader:
+        t0 = cur_time_micros()
+        read = bytes(read)
+        if engine is not None:
+            result, r_result = engine.search_fwd_rc(read)
+        else:
+            result = index.search(read)
+            r_result = index.search(reverse_complement(read))
+        tot_kmers = len(result.local_offsets)
+        str_len = len(read)
+        parts = []
+        for i in range(tot_kmers):
+            if result.local_offsets[i][0] == -1:
+                unitig, pos = r_result.local_offsets[str_len - k - i]
+            else:
+                unitig, pos = result.local_offsets[i]
+            if unitig != -1:
+                total_positive += 1
+            parts.append(f"({unitig},{pos})")
+        out.write(" ".join(parts) + "\n")
+        kmers_count += result.n_found
+        kmers_count_rev += r_result.n_found
+        number_of_queries += tot_kmers
+        total_micros += cur_time_micros() - t0
+
+    write_log("k " + str(k), LogLevel.MAJOR)
+    us = total_micros / number_of_queries if number_of_queries else float("nan")
+    write_log(f"us/query: {us} (excluding I/O etc)", LogLevel.MAJOR)
+    write_log(f"Found kmers: {kmers_count}", LogLevel.MAJOR)
+    write_log(f"Found kmers reverse : {kmers_count_rev}", LogLevel.MAJOR)
+    write_log(f"Total found kmers: {total_positive}", LogLevel.MAJOR)
+    with open(stats_filename, "a") as statsfile:
+        statsfile.write(f"{k},{kmers_count + kmers_count_rev},{number_of_queries}")
+    return number_of_queries
+
+
+def search_fmin(argv: List[str]) -> int:
+    micros_start = cur_time_micros()
+    set_log_level(LogLevel.MINOR)
+    p = argparse.ArgumentParser(
+        prog="finito search-fmin", description="Query all Finimizers of all input reads."
+    )
+    p.add_argument("-o", "--out-file", default=None, help="Output filename, or stdout if not given.")
+    p.add_argument("-i", "--index-file", required=True, help="Index filename prefix.")
+    p.add_argument(
+        "-q", "--query-file", required=True,
+        help="Query FASTA/FASTQ, possibly gzipped; .txt = list of query files.",
+    )
+    p.add_argument(
+        "--engine", default="oracle", choices=["oracle", "dense", "replica"],
+        help="Query engine: host oracle (exact reference algorithm), or the "
+        "batched TPU engines (identical output).",
+    )
+    args = p.parse_args(argv)
+
+    from finito_tpu.index.index import FinimizerIndex
+    from finito_tpu.io.fastx import SequenceReader
+
+    query_files = _expand_file_list(args.query_file)
+    for f in query_files:
+        check_readable(f)
+
+    output_files: Optional[List[str]] = None
+    if args.out_file is not None:
+        multi = len(args.query_file) >= 4 and args.query_file.endswith(".txt")
+        output_files = readlines(args.out_file) if multi else [args.out_file]
+        for f in output_files:
+            check_writable(f)
+        if len(query_files) != len(output_files):
+            raise RuntimeError(
+                f"Number of input and output files does not match "
+                f"({len(query_files)} vs {len(output_files)})"
+            )
+    else:
+        write_log("No output file given, writing to stdout", LogLevel.MAJOR)
+
+    index_prefix = args.index_file
+    sys.stderr.write("Loading index...\n")
+    index = FinimizerIndex.load(index_prefix)
+    sys.stderr.write("Index loaded\n")
+
+    engine = None
+    if args.engine != "oracle":
+        from finito_tpu.query.engine import DeviceQueryEngine
+
+        engine = DeviceQueryEngine(index, mode=args.engine)
+
+    k = index.sbwt.get_k()
+    sys.stderr.write(
+        f"k = {k} SBWT nodes: {index.sbwt.number_of_subsets()} "
+        f"kmers: {index.sbwt.number_of_kmers()}\n"
+    )
+
+    number_of_queries = 0
+    stats_filename = index_prefix + ".stats"
+    for i, qf in enumerate(query_files):
+        write_log("Running streaming queries from input file " + qf, LogLevel.MAJOR)
+        with SequenceReader(qf) as reader:
+            if output_files is not None:
+                with open(output_files[i], "w") as out:
+                    number_of_queries += _run_queries_streaming(
+                        reader, out, index, stats_filename, engine
+                    )
+            else:
+                number_of_queries += _run_queries_streaming(
+                    reader, sys.stdout, index, stats_filename, engine
+                )
+
+    new_total_micros = cur_time_micros() - micros_start
+    us_e2e = new_total_micros / number_of_queries if number_of_queries else float("nan")
+    write_log(f"us/query end-to-end: {us_e2e}", LogLevel.MAJOR)
+    write_log(f"total number of queries: {number_of_queries}", LogLevel.MAJOR)
+
+    # Reference quirk kept: second stats file named `<prefix>stats.txt`
+    # (missing dot, search_fmin.hh:197) with leading-comma CSV rows.
+    nbytes = index.size_in_bytes()
+    write_log(f"bytes: {nbytes}", LogLevel.MAJOR)
+    bits_per_kmer = nbytes * 8 / index.sbwt.number_of_kmers() if index.sbwt.number_of_kmers() else 0
+    with open(index_prefix + "stats.txt", "a") as statsfile2:
+        statsfile2.write(f",{us_e2e}")
+        statsfile2.write(f",{nbytes}")
+        statsfile2.write(f",{bits_per_kmer}\n")
+        statsfile2.write(f",{index.sbwt.number_of_kmers()}\n")
+
+    total_micros = cur_time_micros() - micros_start
+    us_final = total_micros / number_of_queries if number_of_queries else float("nan")
+    write_log(f"us/query end-to-end: {us_final}", LogLevel.MAJOR)
+    return 0
+
+
+# ------------------------------------------------------------------- main
+
+
+COMMANDS = {
+    "build-fmin": build_fmin,
+    "search-fmin": search_fmin,
+    "sbwt-build": sbwt_build,
+}
+
+
+def print_help(prog: str) -> None:
+    sys.stderr.write("Available commands:\n")
+    for c in COMMANDS:
+        sys.stderr.write(f"   {prog} {c}\n")
+    sys.stderr.write(
+        "Running a command without arguments prints the usage instructions for the command.\n"
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    prog = "finito"
+    if not argv or argv[0] in ("-h", "--help"):
+        print_help(prog)
+        return 1
+    command, rest = argv[0], argv[1:]
+    fn = COMMANDS.get(command)
+    if fn is None:
+        sys.stderr.write(f"Invalid command: {command}\n")
+        print_help(prog)
+        return 1
+    try:
+        return fn(rest)
+    except RuntimeError as e:
+        sys.stderr.write(f"Runtime error: {e}\n")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

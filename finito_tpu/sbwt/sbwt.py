@@ -102,7 +102,7 @@ class PlainMatrixSBWT:
     def update_interval(self, c: int, I: Tuple[int, int]) -> Tuple[int, int]:
         """Right-extend interval by char code c (0..3); scalar version."""
         lo, hi = I
-        if lo == -1:
+        if lo == -1 or c < 0 or c > 3:
             return (-1, -1)
         new_lo = int(self.C[c] + self.rank(c, lo))
         new_hi = int(self.C[c] + self.rank(c, hi + 1) - 1)

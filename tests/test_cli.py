@@ -1,0 +1,124 @@
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from finito_tpu.cli import main
+
+PAPER_UNITIGS = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
+
+
+def write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for s in seqs:
+            f.write(f">\n{s}\n")
+
+
+@pytest.fixture()
+def built_index(tmp_path):
+    unitigs = tmp_path / "unitigs.fna"
+    write_fasta(unitigs, PAPER_UNITIGS)
+    sbwt_path = str(tmp_path / "x.sbwt")
+    assert main(["sbwt-build", "-i", str(unitigs), "-o", sbwt_path, "-k", "4"]) == 0
+    prefix = str(tmp_path / "idx")
+    assert main(["build-fmin", "-o", prefix, "-i", sbwt_path, "-u", str(unitigs)]) == 0
+    return tmp_path, prefix
+
+
+def test_build_and_search_cli(built_index, capsys):
+    tmp_path, prefix = built_index
+    # 7 index files exist
+    for suffix in [".O.sdsl", ".FBV.sdsl", ".packed_unitigs.sdsl",
+                   ".unitig_endpoints.sdsl", ".Ustart.sdsl", ".LCS.sdsl", ".sbwt"]:
+        assert os.path.exists(prefix + suffix), suffix
+    # build stats file: "1,\n" (rarest leaves result empty, like the reference)
+    assert open(prefix + "_stats.txt").read() == "1,\n"
+
+    query = tmp_path / "q.fna"
+    write_fasta(query, ["AAGTAA"])
+    out = tmp_path / "out.txt"
+    assert main(["search-fmin", "-o", str(out), "-i", prefix, "-q", str(query)]) == 0
+    # fixture: fwd {(0,2),(-1,-1),(0,0)}; RC of AAGTAA=TTACTT has no hits,
+    # merge leaves (-1,-1) in place
+    assert open(out).read() == "(0,2) (-1,-1) (0,0)\n"
+    assert os.path.exists(prefix + ".stats")
+    assert os.path.exists(prefix + "stats.txt")  # reference's missing-dot name
+
+
+def test_search_rc_merge_cli(tmp_path):
+    unitigs = tmp_path / "u.fna"
+    write_fasta(unitigs, ["CGGT", "GGTT", "TACCCGTA"])
+    sbwt_path = str(tmp_path / "x.sbwt")
+    main(["sbwt-build", "-i", str(unitigs), "-o", sbwt_path, "-k", "4"])
+    prefix = str(tmp_path / "idx")
+    main(["build-fmin", "-o", prefix, "-i", sbwt_path, "-u", str(unitigs)])
+
+    query = tmp_path / "q.fna"
+    write_fasta(query, ["AACCGTACC"])
+    out = tmp_path / "out.txt"
+    main(["search-fmin", "-o", str(out), "-i", prefix, "-q", str(query)])
+    # merged fixture from tests.cpp:267
+    assert open(out).read() == "(2,0) (1,0) (0,3) (0,4) (-1,-1) (0,0)\n"
+
+
+def test_gzip_and_txt_fanout(tmp_path):
+    unitigs = tmp_path / "u.fna.gz"
+    with gzip.open(unitigs, "wt") as f:
+        for s in PAPER_UNITIGS:
+            f.write(f">\n{s}\n")
+    sbwt_path = str(tmp_path / "x.sbwt")
+    assert main(["sbwt-build", "-i", str(unitigs), "-o", sbwt_path, "-k", "4"]) == 0
+    prefix = str(tmp_path / "idx")
+    assert main(["build-fmin", "-o", prefix, "-i", sbwt_path, "-u", str(unitigs)]) == 0
+
+    q1 = tmp_path / "q1.fna"
+    q2 = tmp_path / "q2.fna"
+    write_fasta(q1, ["AAGTAA"])
+    write_fasta(q2, ["GTAAGTCT"])
+    qlist = tmp_path / "queries.txt"
+    qlist.write_text(f"{q1}\n{q2}\n")
+    o1, o2 = tmp_path / "o1.txt", tmp_path / "o2.txt"
+    olist = tmp_path / "outs.txt"
+    olist.write_text(f"{o1}\n{o2}\n")
+    assert main(["search-fmin", "-o", str(olist), "-i", prefix, "-q", str(qlist)]) == 0
+    assert open(o1).read() == "(0,2) (-1,-1) (0,0)\n"
+    assert open(o2).read() == "(0,0) (0,1) (0,2) (0,3) (0,4)\n"
+
+
+def test_stats_modes(tmp_path):
+    unitigs = tmp_path / "u.fna"
+    write_fasta(unitigs, PAPER_UNITIGS)
+    sbwt_path = str(tmp_path / "x.sbwt")
+    main(["sbwt-build", "-i", str(unitigs), "-o", sbwt_path, "-k", "4"])
+    for typ in ["shortest", "verify"]:
+        prefix = str(tmp_path / f"idx_{typ}")
+        assert main([
+            "build-fmin", "-o", prefix, "-i", sbwt_path, "-u", str(unitigs),
+            "--type", typ, "-t", "1",
+        ]) == 0
+        line = open(prefix + "_stats.txt").read().strip()
+        assert line.startswith("1,")
+        # count,sum_freq,avg_freq,avg_len,n_kmers
+        fields = line.split(",")
+        assert len(fields) == 6
+        assert int(fields[5]) == 14  # paper example has 14 k-mers
+
+    # shortest and verify agree on (len,freq) multisets for t=1
+    s1 = open(str(tmp_path / "idx_shortest") + "_stats.txt").read()
+    s2 = open(str(tmp_path / "idx_verify") + "_stats.txt").read()
+    assert s1.split(",")[1] == s2.split(",")[1]  # same distinct-finimizer count
+
+
+def test_bad_variant_header(tmp_path):
+    bad = tmp_path / "bad.sbwt"
+    import struct
+    bad.write_bytes(struct.pack("<Q", 3) + b"foo")
+    unitigs = tmp_path / "u.fna"
+    write_fasta(unitigs, PAPER_UNITIGS)
+    rc = main(["build-fmin", "-o", str(tmp_path / "i"), "-i", str(bad), "-u", str(unitigs)])
+    assert rc == 1
+
+
+def test_unknown_command(capsys):
+    assert main(["frobnicate"]) == 1
