@@ -1,0 +1,124 @@
+"""Headline benchmark: k-mer localization throughput (queries/sec/chip).
+
+Builds a synthetic DSPSS index (random genome decomposed into k-1
+overlapping unitigs), then measures steady-state throughput of the dense
+device engine on batched reads (98%-present k-mers, 2% mutations).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "kmer_queries/sec", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+driver-set north star is 100M queries/sec on a v5e-16, i.e. 6.25M
+queries/sec/chip. vs_baseline = value / 6.25e6 (fraction of per-chip
+north star; >= 1.0 means the single-chip share of the target is met).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_PER_CHIP = 100e6 / 16
+
+
+def gen_dspss(rng, genome_len: int, k: int, mean_unitig: int = 2000):
+    """Random genome cut into unitigs overlapping by k-1 (k-mer set preserved,
+    each k-mer occurs exactly once)."""
+    while True:
+        genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(genome, k)
+        # verify k-mer distinctness (astronomically likely for k=31)
+        keys = np.zeros(win.shape[0], dtype=np.uint64)
+        if k <= 31:
+            for i in range(k):
+                keys |= win[:, i].astype(np.uint64) << np.uint64(2 * i)
+            if np.unique(keys).size != keys.size:
+                continue
+        break
+    cuts = [0]
+    while cuts[-1] < genome_len - k:
+        cuts.append(min(genome_len - k + 1, cuts[-1] + int(rng.integers(mean_unitig // 2, mean_unitig * 2))))
+    unitigs = []
+    from finito_tpu.io.seqdb import decode_seq
+
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        unitigs.append(decode_seq(genome[a : b + k - 1]))
+    return genome, unitigs
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--genome", type=int, default=400_000, help="synthetic genome length")
+    p.add_argument("--k", type=int, default=31)
+    p.add_argument("--batch", type=int, default=4096, help="reads per device batch")
+    p.add_argument("--read-len", type=int, default=128)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--mutate", type=float, default=0.02)
+    args = p.parse_args()
+
+    rng = np.random.default_rng(0)
+    t_start = time.perf_counter()
+    genome, unitigs = gen_dspss(rng, args.genome, args.k)
+
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.query.engine import DeviceQueryEngine
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    t0 = time.perf_counter()
+    sbwt = build_plain_matrix_sbwt(unitigs, args.k)
+    lcs = lcs_array(sbwt)
+    index = FinimizerIndexBuilder(sbwt, lcs, SeqDB.from_sequences(unitigs)).get_index()
+    build_s = time.perf_counter() - t0
+    sys.stderr.write(
+        f"[bench] index built in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "
+        f"{sbwt.number_of_kmers()} kmers, {len(unitigs)} unitigs\n"
+    )
+
+    t0 = time.perf_counter()
+    engine = DeviceQueryEngine(index, mode="dense")
+    sys.stderr.write(f"[bench] engine init (incl. position table) {time.perf_counter()-t0:.1f}s\n")
+
+    # Query batch: reads sampled from the genome with point mutations.
+    B, L = args.batch, args.read_len
+    starts = rng.integers(0, args.genome - L, size=B)
+    reads = genome[starts[:, None] + np.arange(L)[None, :]].copy()
+    n_mut = int(args.mutate * reads.size)
+    mi = rng.integers(0, B, size=n_mut)
+    mj = rng.integers(0, L, size=n_mut)
+    reads[mi, mj] = (reads[mi, mj] + rng.integers(1, 4, size=n_mut)) % 4
+
+    # Warmup (compile) then steady-state reps.
+    uid, off = engine.locate_batch(reads)
+    n_win = uid.shape[1]
+    found_frac = float(np.mean(uid >= 0))
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        uid, off = engine.locate_batch(reads)
+    dt = time.perf_counter() - t0
+    qps = args.reps * B * n_win / dt
+
+    sys.stderr.write(
+        f"[bench] {B} reads x {n_win} windows x {args.reps} reps in {dt:.3f}s; "
+        f"found fraction {found_frac:.3f}; total wall {time.perf_counter()-t_start:.1f}s\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_localization_throughput_1chip",
+                "value": round(qps, 1),
+                "unit": "kmer_queries/sec",
+                "vs_baseline": round(qps / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

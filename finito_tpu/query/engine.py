@@ -1,0 +1,181 @@
+"""Batched device query engines producing `search-fmin`-identical output.
+
+Engines (selected by --engine on the CLI):
+
+  * "dense": the throughput engine. At init it materializes the k-mer
+    position table pos[colex] = global end offset of that k-mer's (unique,
+    t=1) occurrence in the packed unitig concatenation, by batch-searching
+    every unitig window on device -- a generalization of the index's own
+    anchor structures (with t=1, every finimizer's singleton interval
+    start IS the colex rank of the k-mer ending at the finimizer's end,
+    so global_offsets/Ustart are sparse anchors of this same table;
+    ref: FinimizerIndex.hh:119-185 resolves positions through those
+    anchors sequentially, we resolve through the dense table in one
+    gather). Queries are then: fixed-k interval extension over all
+    windows (divergence-free) + one gather + searchsorted over unitig
+    ends. Extra memory: 4 bytes/node.
+
+  * "replica": the compact engine (no dense table): streaming two-interval
+    scan like the reference, vectorized across reads; same output, index
+    memory identical to the serialized form. (Implemented in
+    finito_tpu.query.replica.)
+
+Both match FinimizerIndex.search (the host oracle) bit-exactly on valid
+t=1 DSPSS indexes; the oracle remains the arbiter in tests. For inputs
+that are NOT k-mer-disjoint the reference's answer for a repeated k-mer
+depends on its dictionary contents (SURVEY.md Appendix A item 7); the
+dense engine then reports the last window scattered at build -- such
+inputs are outside the reference's own contract (its Rust oracle errors
+on them, main.rs:89-92).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from finito_tpu.index.index import FinimizerIndex, QueryResult
+from finito_tpu.ops.bitvec import DeviceSBWT, kmer_ranks_fixed, search_batch_device
+
+
+def build_position_table(
+    dsbwt: DeviceSBWT, concat: np.ndarray, ends: np.ndarray, chunk: int = 1 << 20
+) -> jnp.ndarray:
+    """pos[colex] = global end offset of the k-mer with that colex rank,
+    -1 for dummy nodes. Built by batch-searching every valid unitig
+    window (windows never cross unitig boundaries)."""
+    k = dsbwt.k
+    total = int(concat.size)
+    table = jnp.full(dsbwt.n_nodes, -1, dtype=jnp.int32)
+    if total < k:
+        return table
+    ends64 = np.asarray(ends, dtype=np.int64)
+
+    @jax.jit
+    def step(table, kmers, g_end):
+        ranks = search_batch_device(dsbwt, kmers)
+        # ranks of real windows are k-mer nodes; invalid rows carry rank -1
+        return table.at[ranks].set(g_end, mode="drop")
+
+    n_pos = total - k + 1
+    for s in range(0, n_pos, chunk):
+        m = min(chunk, n_pos - s)
+        starts = np.arange(s, s + m, dtype=np.int64)
+        # valid iff window fits inside the unitig containing its start
+        uid = np.searchsorted(ends64, starts, side="right")
+        valid = starts + k <= ends64[uid]
+        win = np.lib.stride_tricks.sliding_window_view(concat[s : s + m + k - 1], k).copy()
+        win[~valid] = 255  # force absent -> rank -1 -> dropped scatter
+        g_end = jnp.asarray((starts + k - 1).astype(np.int32))
+        table = step(table, jnp.asarray(win), g_end)
+    return table
+
+
+def _locate_dense(dsbwt: DeviceSBWT, pos_table, ends_dev, codes, k: int):
+    """(B, L) codes -> ((B, W) unitig ids, (B, W) offsets); -1 for absent."""
+    ranks = kmer_ranks_fixed(dsbwt, codes, k)
+    found = ranks >= 0
+    g_end = jnp.take(pos_table, jnp.where(found, ranks, 0))
+    found = found & (g_end >= 0)
+    g_start = g_end - k + 1
+    uid = jnp.searchsorted(ends_dev, g_start, side="right").astype(jnp.int32)
+    u_start = jnp.where(uid > 0, jnp.take(ends_dev, jnp.maximum(uid - 1, 0)), 0)
+    off = g_start - u_start
+    neg = jnp.int32(-1)
+    return jnp.where(found, uid, neg), jnp.where(found, off, neg)
+
+
+class DeviceQueryEngine:
+    """Batched (unitig, offset) localization over a loaded FinimizerIndex."""
+
+    def __init__(self, index: FinimizerIndex, mode: str = "dense"):
+        self.index = index
+        self.k = index.sbwt.get_k()
+        self.mode = mode
+        self.dsbwt = DeviceSBWT.from_host(index.sbwt)
+        self.ends_dev = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
+        if mode == "dense":
+            self.pos_table = build_position_table(
+                self.dsbwt, index.unitigs.concat, index.unitigs.ends
+            )
+            self._locate = jax.jit(
+                lambda codes: _locate_dense(self.dsbwt, self.pos_table, self.ends_dev, codes, self.k)
+            )
+        elif mode == "replica":
+            from finito_tpu.query.replica import make_replica_locate
+
+            self._locate = make_replica_locate(index, self.dsbwt, self.ends_dev)
+        else:
+            raise ValueError(f"unknown engine mode {mode}")
+
+    # ---------------- batched core ----------------
+
+    def locate_batch(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """codes: (B, L) uint8 (pad with 255), L >= k. Returns (B, W) unitig
+        ids and offsets, -1 where the k-mer is absent/invalid.
+
+        Shapes are bucketed (L to a multiple of 128, B to a power of two)
+        so arbitrary read sets hit a handful of compiled programs instead
+        of one XLA compile per shape.
+        """
+        B, L = codes.shape
+        L_pad = max(128, -(-L // 128) * 128)
+        B_pad = 1 << max(0, (B - 1).bit_length())
+        if (B_pad, L_pad) != (B, L):
+            padded = np.full((B_pad, L_pad), 255, dtype=np.uint8)
+            padded[:B, :L] = codes
+            codes = padded
+        uid, off = self._locate(jnp.asarray(codes))
+        W = L - self.k + 1
+        return np.asarray(uid)[:B, :W], np.asarray(off)[:B, :W]
+
+    # ---------------- per-read CLI-parity API ----------------
+
+    def search_fwd_rc(self, read: bytes) -> Tuple[QueryResult, QueryResult]:
+        """Forward and reverse-complement QueryResults for one read,
+        matching FinimizerIndex.search semantics (incl. empty result for
+        non-ACGT reads and reads shorter than k)."""
+        lines = self.process_reads([read])
+        return lines[0]
+
+    def process_reads(self, reads: Sequence[bytes]) -> List[Tuple[QueryResult, QueryResult]]:
+        from finito_tpu.io.seqdb import encode_seq
+
+        k = self.k
+        results: List[Tuple[QueryResult, QueryResult]] = [None] * len(reads)  # type: ignore
+        batch_idx: List[int] = []
+        batch_codes: List[np.ndarray] = []
+        for i, read in enumerate(reads):
+            codes = encode_seq(read if isinstance(read, bytes) else read.encode())
+            if codes.size < k or np.any(codes == 255):
+                # reference: short reads emit nothing; invalid reads return {}
+                results[i] = (QueryResult([], 0), QueryResult([], 0))
+            else:
+                batch_idx.append(i)
+                batch_codes.append(codes)
+        if batch_idx:
+            L = max(c.size for c in batch_codes)
+            B = len(batch_codes)
+            fwd = np.full((B, L), 255, dtype=np.uint8)
+            rc = np.full((B, L), 255, dtype=np.uint8)
+            for j, c in enumerate(batch_codes):
+                fwd[j, : c.size] = c
+                rc[j, : c.size] = (3 - c)[::-1]
+            uid_f, off_f = self.locate_batch(fwd)
+            uid_r, off_r = self.locate_batch(rc)
+            for j, i in enumerate(batch_idx):
+                n = batch_codes[j].size - k + 1
+                f = QueryResult(
+                    [(int(uid_f[j, w]), int(off_f[j, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_f[j, :n] >= 0)),
+                )
+                r = QueryResult(
+                    [(int(uid_r[j, w]), int(off_r[j, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_r[j, :n] >= 0)),
+                )
+                results[i] = (f, r)
+        return results

@@ -1,0 +1,137 @@
+"""Device (JAX) engine vs the host oracle: identical output required.
+
+Runs on the virtual CPU mesh (tests/conftest.py). The oracle
+(FinimizerIndex.search, the exact reference algorithm) is the arbiter.
+"""
+
+import numpy as np
+import pytest
+
+from finito_tpu.index.builder import FinimizerIndexBuilder
+from finito_tpu.io.fastx import reverse_complement
+from finito_tpu.io.seqdb import SeqDB, encode_seq
+from finito_tpu.ops.bitvec import DeviceSBWT
+from finito_tpu.query.engine import DeviceQueryEngine
+from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+from finito_tpu.sbwt.lcs import lcs_array
+
+import jax.numpy as jnp
+
+from finito_tpu.ops import bitvec
+
+
+def build_index(spss, k):
+    sbwt = build_plain_matrix_sbwt([s.encode() for s in spss], k)
+    return FinimizerIndexBuilder(sbwt, lcs_array(sbwt), SeqDB.from_sequences([s.encode() for s in spss])).get_index()
+
+
+def gen_dspss(rng, n_unitigs, min_len, max_len, k):
+    """Random unitigs whose k-mers are globally distinct (valid t=1 input)."""
+    seen = set()
+    unitigs = []
+    tries = 0
+    while len(unitigs) < n_unitigs and tries < 10000:
+        tries += 1
+        L = int(rng.integers(min_len, max_len + 1))
+        s = "".join(rng.choice(list("ACGT"), L))
+        kmers = {s[i : i + k] for i in range(L - k + 1)}
+        if len(kmers) != L - k + 1 or kmers & seen:
+            continue
+        seen |= kmers
+        unitigs.append(s)
+    assert len(unitigs) == n_unitigs
+    return unitigs
+
+
+def oracle_pairs(index, read: bytes):
+    res = index.search(read)
+    return res.local_offsets, res.n_found
+
+
+def engine_pairs(engine, read: bytes):
+    f, _r = engine.search_fwd_rc(read)
+    return f.local_offsets, f.n_found
+
+
+def test_device_rank_matches_host():
+    spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
+    sbwt = build_plain_matrix_sbwt([s.encode() for s in spss], 4)
+    d = DeviceSBWT.from_host(sbwt)
+    n = sbwt.number_of_subsets()
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, n + 1, size=200).astype(np.int32)
+    for c in range(4):
+        host = sbwt.rank(c, idx)
+        dev = bitvec.rank(d, jnp.full(idx.shape, c, jnp.int32), jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_device_search_matches_host():
+    spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
+    k = 4
+    sbwt = build_plain_matrix_sbwt([s.encode() for s in spss], k)
+    d = DeviceSBWT.from_host(sbwt)
+    rng = np.random.default_rng(1)
+    kmers = rng.integers(0, 4, size=(300, k)).astype(np.uint8)
+    host = sbwt.search_batch(kmers)
+    dev = np.asarray(bitvec.search_batch_device(d, jnp.asarray(kmers)))
+    np.testing.assert_array_equal(dev, host)
+
+
+@pytest.fixture(scope="module")
+def fixture_engine():
+    spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
+    index = build_index(spss, 4)
+    return index, DeviceQueryEngine(index, mode="dense")
+
+
+def test_dense_engine_fixture_queries(fixture_engine):
+    index, engine = fixture_engine
+    for q in [b"AAGTAA", b"GTAAGTCT", b"ACAGGTA", b"TTTTTT", b"AGGTAAGT", b"ACG", b"ACGNACGT"]:
+        assert engine_pairs(engine, q) == oracle_pairs(index, q), q
+
+
+def test_dense_engine_padded_batch(fixture_engine):
+    index, engine = fixture_engine
+    reads = [b"AAGTAA", b"GTAAGTCTAGG", b"ACAG"]
+    out = engine.process_reads(reads)
+    for read, (f, _r) in zip(reads, out):
+        assert f.local_offsets == index.search(read).local_offsets
+
+
+def test_dense_engine_random_dspss():
+    rng = np.random.default_rng(42)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 8, 40, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="dense")
+
+    queries = []
+    # substrings of unitigs (present), possibly RC'd
+    for _ in range(30):
+        u = unitigs[int(rng.integers(len(unitigs)))]
+        if len(u) <= k:
+            continue
+        a = int(rng.integers(0, len(u) - k + 1))
+        b = int(rng.integers(a + k, len(u) + 1))
+        q = u[a:b].encode()
+        if rng.random() < 0.5:
+            q = reverse_complement(q)
+        queries.append(q)
+    # random reads (mostly absent) and chimeras
+    for _ in range(20):
+        L = int(rng.integers(k, 30))
+        queries.append("".join(rng.choice(list("ACGT"), L)).encode())
+    for _ in range(10):
+        u1 = unitigs[int(rng.integers(len(unitigs)))]
+        u2 = unitigs[int(rng.integers(len(unitigs)))]
+        queries.append((u1[-k:] + u2[:k]).encode())
+
+    for q in queries:
+        assert engine_pairs(engine, q) == oracle_pairs(index, q), q
+        # merged fwd/rc parity too
+        f, r = engine.search_fwd_rc(q)
+        of = index.search(q)
+        orr = index.search(reverse_complement(q))
+        assert r.local_offsets == orr.local_offsets
+        assert (f.n_found, r.n_found) == (of.n_found, orr.n_found)
