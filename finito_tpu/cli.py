@@ -251,7 +251,7 @@ def search_fmin(argv: List[str]) -> int:
         help="Query FASTA/FASTQ, possibly gzipped; .txt = list of query files.",
     )
     p.add_argument(
-        "--engine", default="oracle", choices=["oracle", "dense", "replica"],
+        "--engine", default="oracle", choices=["oracle", "dense", "stream", "replica"],
         help="Query engine: host oracle (exact reference algorithm), or the "
         "batched TPU engines (identical output).",
     )

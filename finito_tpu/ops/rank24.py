@@ -1,0 +1,190 @@
+"""Single-gather rank and LCS-jump structures for the streaming engine.
+
+TPU XLA's batched gather sustains ~140M elements/s on v5e regardless of
+element width, so query throughput is set by *gathers per k-mer*. These
+layouts minimize that count:
+
+  * rank24: one uint32 entry per 8 SBWT positions per char:
+        entry = (rank_before_byte << 8) | bits_byte
+    so rank_c(i) = (e >> 8) + popcount(e & ((1 << (i&7)) - 1)) is ONE
+    gather (vs word + block = 2 in ops.bitvec). Requires n_nodes < 2^24
+    per shard (16M; larger indexes use ops.bitvec or tp-sharding).
+
+  * packed LCS-jump arrays for drop_first_char (ref common.hh:38-48):
+        jl[i] = ((i - prev_smaller(i)) << 8) | LCS[i]
+        jr[i] = ((next_smaller(i) - i) << 8) | LCS[i]
+    One gather per widening hop, and hops skip whole >=LCS plateaus
+    instead of single steps.
+
+  * contract_k: per node x, the precomputed (k-1)-widening of the
+    singleton [x, x] -- the interval of x's k-mer's (k-1)-suffix. The
+    streaming scan performs this exact widening once per found k-mer
+    (window slide), so it becomes one row gather.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+RANK24_MAX_NODES = 1 << 24
+
+
+def build_rank24_tables(bit_rows: np.ndarray) -> np.ndarray:
+    """(4, n) 0/1 -> flat (4 * n8,) uint32 packed rank|byte entries."""
+    n = bit_rows.shape[1]
+    if n >= RANK24_MAX_NODES:
+        raise ValueError(f"rank24 supports < 2^24 nodes, got {n}")
+    n8 = (n + 7) // 8 + 1  # pad entry so i == n is addressable
+    out = np.zeros((4, n8), dtype=np.uint32)
+    weights = (1 << np.arange(8)).astype(np.uint32)
+    for c in range(4):
+        padded = np.zeros(n8 * 8, dtype=np.uint8)
+        padded[:n] = bit_rows[c]
+        by = padded.reshape(n8, 8)
+        byte_vals = (by * weights).sum(axis=1, dtype=np.uint32)
+        counts = by.sum(axis=1, dtype=np.int64)
+        csum = np.zeros(n8, dtype=np.int64)
+        np.cumsum(counts[:-1], out=csum[1:])
+        out[c] = (csum.astype(np.uint32) << np.uint32(8)) | byte_vals
+    return out.reshape(-1)
+
+
+def rank24(tab: jnp.ndarray, n8: int, c, i):
+    """Batched rank_c(i) in one gather. c int32 in [0,4), i in [0, n]."""
+    e = jnp.take(tab, c * n8 + (i >> 3))
+    mask = (jnp.uint32(1) << (i & 7).astype(jnp.uint32)) - jnp.uint32(1)
+    return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
+
+
+def update_interval24(tab, n8: int, C, c, lo, hi):
+    """Batched SBWT right-extension using rank24 (2 gathers total)."""
+    c = c.astype(jnp.int32)
+    valid = (lo >= 0) & (c >= 0) & (c <= 3)
+    cs = jnp.where(valid, c, 0)
+    los = jnp.where(valid, lo, 0)
+    his = jnp.where(valid, hi, 0)
+    nlo = C[cs] + rank24(tab, n8, cs, los)
+    nhi = C[cs] + rank24(tab, n8, cs, his + 1) - 1
+    ok = valid & (nlo <= nhi)
+    neg = jnp.int32(-1)
+    return jnp.where(ok, nlo, neg), jnp.where(ok, nhi, neg)
+
+
+def _prev_smaller(a: np.ndarray) -> np.ndarray:
+    """out[i] = max j < i with a[j] < a[i]; 0 where none (a[0]=0 in LCS)."""
+    n = a.size
+    out = np.zeros(n, dtype=np.int64)
+    stack_pos = np.empty(n + 1, dtype=np.int64)
+    stack_val = np.empty(n + 1, dtype=np.int64)
+    top = -1
+    for i in range(n):
+        v = a[i]
+        while top >= 0 and stack_val[top] >= v:
+            top -= 1
+        out[i] = stack_pos[top] if top >= 0 else 0
+        top += 1
+        stack_pos[top] = i
+        stack_val[top] = v
+    return out
+
+
+def _next_smaller(a: np.ndarray) -> np.ndarray:
+    """out[i] = min j > i with a[j] < a[i]; n where none."""
+    n = a.size
+    out = np.full(n, n, dtype=np.int64)
+    stack_pos = np.empty(n + 1, dtype=np.int64)
+    stack_val = np.empty(n + 1, dtype=np.int64)
+    top = -1
+    for i in range(n - 1, -1, -1):
+        v = a[i]
+        while top >= 0 and stack_val[top] >= v:
+            top -= 1
+        out[i] = stack_pos[top] if top >= 0 else n
+        top += 1
+        stack_pos[top] = i
+        stack_val[top] = v
+    return out
+
+
+def build_lcs_jump_tables(LCS: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Packed (delta << 8 | lcs) jump arrays jl, jr (uint32, length n+1).
+
+    jr has one pad entry at index n (delta 0, lcs 0) so `hi+1 == n` probes
+    are safe and immediately inactive.
+    """
+    a = np.asarray(LCS, dtype=np.int64)
+    n = a.size
+    if np.any(a > 255):
+        raise ValueError("LCS values must fit in 8 bits (k <= 256)")
+    prev = _prev_smaller(a)
+    nxt = _next_smaller(a)
+    jl = ((np.arange(n) - prev).astype(np.uint32) << np.uint32(8)) | a.astype(np.uint32)
+    jr = np.zeros(n + 1, dtype=np.uint32)
+    jr[:n] = ((nxt - np.arange(n)).astype(np.uint32) << np.uint32(8)) | a.astype(np.uint32)
+    return jl, jr
+
+
+def build_contract_k_table(LCS: np.ndarray, k: int) -> np.ndarray:
+    """(n, 2) int32: for each node x, the (k-1)-widened interval of [x, x].
+
+    lo[x] = max j <= x with (j == 0 or LCS[j] < k-1)
+    hi[x] = min j >= x with (j == n-1 or LCS[j+1] < k-1)
+    """
+    a = np.asarray(LCS, dtype=np.int64)
+    n = a.size
+    idx = np.arange(n, dtype=np.int64)
+    small = a < (k - 1)
+    small[0] = True
+    lo = np.maximum.accumulate(np.where(small, idx, 0))
+    # first j >= x with LCS[j+1] < k-1 (or n-1)
+    small_next = np.empty(n, dtype=bool)
+    small_next[: n - 1] = a[1:] < (k - 1)
+    small_next[n - 1] = True
+    hi = np.minimum.accumulate(np.where(small_next, idx, n - 1)[::-1])[::-1]
+    return np.stack([lo, hi], axis=1).astype(np.int32)
+
+
+def widen_interval(jl, jr, lo, hi, new_len, n_nodes: int):
+    """Batched drop_first_char via packed jump hops (1 gather per hop/side).
+
+    Follows ref common.hh:38-48: empty intervals (lo == -1) pass through;
+    new_len <= 0 yields the full interval.
+    """
+    empty = lo < 0
+    full = (new_len <= 0) & ~empty
+    nl = new_len.astype(jnp.uint32)
+
+    def cond_l(st):
+        x, act = st
+        return jnp.any(act)
+
+    def body_l(st):
+        x, act = st
+        e = jnp.take(jl, jnp.where(act, x, 0))
+        hop = act & (x > 0) & ((e & jnp.uint32(0xFF)).astype(jnp.int32) >= new_len)
+        x2 = jnp.where(hop, x - (e >> jnp.uint32(8)).astype(jnp.int32), x)
+        return x2, hop
+
+    x0 = jnp.where(empty | full, 0, lo)
+    act0 = ~(empty | full)
+    new_lo, _ = lax.while_loop(cond_l, body_l, (x0, act0))
+
+    def body_r(st):
+        x, act = st
+        e = jnp.take(jr, jnp.where(act, x, 0))
+        hop = act & (x < n_nodes) & ((e & jnp.uint32(0xFF)).astype(jnp.int32) >= new_len)
+        x2 = jnp.where(hop, x + (e >> jnp.uint32(8)).astype(jnp.int32), x)
+        return x2, hop
+
+    y0 = jnp.where(empty | full, 0, hi + 1)
+    new_hi, _ = lax.while_loop(cond_l, body_r, (y0, act0))
+    new_hi = new_hi - 1
+
+    out_lo = jnp.where(empty, lo, jnp.where(full, 0, new_lo))
+    out_hi = jnp.where(empty, hi, jnp.where(full, n_nodes - 1, new_hi))
+    return out_lo, out_hi

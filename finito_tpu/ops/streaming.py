@@ -1,0 +1,154 @@
+"""Two-phase streaming k-mer rank engine: optimistic chain + verify.
+
+Data-dependent while_loops inside a lax.scan cost milliseconds per
+iteration on TPU (measured ~4ms at 16k lanes), so the reference's
+streaming recovery loop (common.hh:116-126) cannot be transplanted
+per-step. Instead:
+
+Phase A -- "chain" scan (no whiles, 3 gathers/step): track the interval
+of seq[ks..j]. On a window close (length == k) the k-mer is FOUND
+definitively (emit its singleton rank) and the window slides by the
+precomputed (k-1)-contraction (one row gather). On extension failure:
+  * if the chain had full (k-1)-length context, the window ending at j
+    is definitively ABSENT;
+  * otherwise the window is UNKNOWN;
+and the chain resets (ks = j+1). Windows closing while the chain is
+immature are UNKNOWN.
+
+Phase B -- batched verification: UNKNOWN windows are compacted host-side
+and re-searched with plain k-step extension and early exit (one
+while_loop per *phase*, <= k iterations, lanes retire as intervals
+empty). For mostly-present reads phase B is nearly empty; for
+absent-heavy reads it costs ~(absent fraction) of a fixed-k pass with
+early exit.
+
+Output equals ops.bitvec.kmer_ranks_fixed exactly (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from finito_tpu.ops.rank24 import update_interval24
+
+UNKNOWN = -2
+
+
+def make_chain_scan(tab, n8: int, C, contract_k, k: int, n_nodes: int):
+    """Phase A. (B, L) codes -> (B, L) per-position status:
+    rank >= 0 found, -1 definitively absent, -2 unknown (positions < k-1
+    are meaningless and set to -1 by the caller's slice)."""
+
+    def upd(c, lo, hi):
+        return update_interval24(tab, n8, C, c, lo, hi)
+
+    def step(carry, c):
+        lo, hi, ks, j = carry  # interval of seq[ks..j-1]
+        invalid = c > 3
+        nlo, nhi = upd(c, lo, hi)
+        failed = invalid | (nlo < 0)
+        had_full_context = ks == j - k + 1  # chain length entering was k-1
+        close = ~failed & (j - ks + 1 == k)
+
+        emit = jnp.where(
+            close,
+            nlo,
+            jnp.where(failed & had_full_context & ~invalid, -1, UNKNOWN),
+        )
+        emit = jnp.where(invalid, -1, emit)
+
+        # slide on close: contract the singleton to its (k-1)-suffix interval
+        pair = jnp.take(contract_k, jnp.where(close, nlo, 0), axis=0)
+        lo2 = jnp.where(close, pair[:, 0], nlo)
+        hi2 = jnp.where(close, pair[:, 1], nhi)
+        ks2 = jnp.where(close, ks + 1, ks)
+        # reset on failure
+        lo3 = jnp.where(failed, 0, lo2)
+        hi3 = jnp.where(failed, n_nodes - 1, hi2)
+        ks3 = jnp.where(failed, j + 1, ks2)
+        return (lo3, hi3, ks3, j + 1), emit
+
+    def run(codes):
+        B, L = codes.shape
+        init = (
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, n_nodes - 1, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.int32(0),
+        )
+        _, emitted = lax.scan(step, init, codes.astype(jnp.int32).T)
+        return emitted.T  # (B, L); window ending at j -> start j-k+1
+
+    return run
+
+
+def make_window_verifier(tab, n8: int, C, k: int, n_nodes: int):
+    """Phase B. Verify a compacted set of windows by plain extension with
+    early exit. Inputs: flat codes (B*L,), window start flat offsets
+    (K,) int32 (start = lane*L + s), valid mask. Returns (K,) rank/-1."""
+
+    def upd(c, lo, hi):
+        return update_interval24(tab, n8, C, c, lo, hi)
+
+    def run(codes_flat, starts, valid):
+        K = starts.shape[0]
+        lo = jnp.zeros(K, jnp.int32)
+        hi = jnp.full(K, n_nodes - 1, jnp.int32)
+
+        def cond(st):
+            j, lo, hi, active = st
+            return (j < k) & jnp.any(active)
+
+        def body(st):
+            j, lo, hi, active = st
+            c = jnp.take(codes_flat, starts + j).astype(jnp.int32)
+            nlo, nhi = upd(c, lo, hi)
+            lo2 = jnp.where(active, nlo, lo)
+            hi2 = jnp.where(active, nhi, hi)
+            return j + 1, lo2, hi2, active & (nlo >= 0)
+
+        j, lo, hi, active = lax.while_loop(
+            cond, body, (jnp.int32(0), lo, hi, valid)
+        )
+        # survived all k steps with nonempty interval -> rank
+        return jnp.where(valid & (lo >= 0) & (j == k), lo, -1)
+
+    return run
+
+
+def make_chain_stream_ranks(tab, n8: int, C, contract_k, k: int, n_nodes: int, K: int):
+    """Fully device-resident two-phase pipeline (single dispatch).
+
+    Returns a jittable fn: (B, L) codes -> ((B, W) ranks, n_unknown).
+    K bounds the number of UNKNOWN windows verified on-device; if
+    n_unknown > K the caller MUST re-run with a larger K (unverified
+    windows must never be reported). n_unknown also lets callers
+    right-size K for steady-state workloads."""
+    chain = make_chain_scan(tab, n8, C, contract_k, k, n_nodes)
+    verify = make_window_verifier(tab, n8, C, k, n_nodes)
+
+    def run(codes):
+        B, L = codes.shape
+        W = L - k + 1
+        status = chain(codes)[:, k - 1 :]  # (B, W)
+        mask = (status == UNKNOWN).reshape(-1)
+        n_unknown = jnp.sum(mask, dtype=jnp.int32)
+        (flat_idx,) = jnp.nonzero(mask, size=K, fill_value=-1)
+        valid = flat_idx >= 0
+        lane = jnp.where(valid, flat_idx, 0) // W
+        w = jnp.where(valid, flat_idx, 0) % W
+        starts = (lane * L + w).astype(jnp.int32)
+        verified = verify(codes.reshape(-1), starts, valid)
+        status_flat = status.reshape(-1)
+        # fill index B*W is out of bounds and dropped (negative would wrap!)
+        status_flat = status_flat.at[jnp.where(valid, flat_idx, B * W)].set(
+            verified, mode="drop"
+        )
+        return status_flat.reshape(B, W), n_unknown
+
+    return run

@@ -75,9 +75,8 @@ def build_position_table(
     return table
 
 
-def _locate_dense(dsbwt: DeviceSBWT, pos_table, ends_dev, codes, k: int):
-    """(B, L) codes -> ((B, W) unitig ids, (B, W) offsets); -1 for absent."""
-    ranks = kmer_ranks_fixed(dsbwt, codes, k)
+def _ranks_to_locations(pos_table, ends_dev, ranks, k: int):
+    """colex ranks (B, W) -> ((B, W) unitig ids, (B, W) offsets)."""
     found = ranks >= 0
     g_end = jnp.take(pos_table, jnp.where(found, ranks, 0))
     found = found & (g_end >= 0)
@@ -87,6 +86,12 @@ def _locate_dense(dsbwt: DeviceSBWT, pos_table, ends_dev, codes, k: int):
     off = g_start - u_start
     neg = jnp.int32(-1)
     return jnp.where(found, uid, neg), jnp.where(found, off, neg)
+
+
+def _locate_dense(dsbwt: DeviceSBWT, pos_table, ends_dev, codes, k: int):
+    """(B, L) codes -> ((B, W) unitig ids, (B, W) offsets); -1 for absent."""
+    ranks = kmer_ranks_fixed(dsbwt, codes, k)
+    return _ranks_to_locations(pos_table, ends_dev, ranks, k)
 
 
 class DeviceQueryEngine:
@@ -105,6 +110,52 @@ class DeviceQueryEngine:
             self._locate = jax.jit(
                 lambda codes: _locate_dense(self.dsbwt, self.pos_table, self.ends_dev, codes, self.k)
             )
+        elif mode == "stream":
+            from finito_tpu.ops.rank24 import (
+                build_contract_k_table,
+                build_rank24_tables,
+            )
+            from finito_tpu.ops.streaming import make_chain_stream_ranks
+
+            self.pos_table = build_position_table(
+                self.dsbwt, index.unitigs.concat, index.unitigs.ends
+            )
+            tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
+            n8 = tab.shape[0] // 4
+            C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
+            ck = jnp.asarray(build_contract_k_table(index.LCS, self.k))
+            n_nodes = index.sbwt.number_of_subsets()
+            self._tab, self._n8, self._C, self._ck, self._n_nodes = tab, n8, C, ck, n_nodes
+            pos_table = self.pos_table
+            ends_dev = self.ends_dev
+            k = self.k
+            stream_cache = {}
+
+            def make_stream(K):
+                ranks_fn = make_chain_stream_ranks(tab, n8, C, ck, k, n_nodes, K)
+
+                def f(codes):
+                    ranks, n_unknown = ranks_fn(codes)
+                    uid, off = _ranks_to_locations(pos_table, ends_dev, ranks, k)
+                    return uid, off, n_unknown > K
+
+                return jax.jit(f)
+
+            def locate_stream(codes):
+                B, L = codes.shape
+                W = L - k + 1
+                K = max(1024, (B * W) // 8)
+                while True:
+                    if K not in stream_cache:
+                        stream_cache[K] = make_stream(K)
+                    uid, off, overflow = stream_cache[K](codes)
+                    if not bool(overflow):
+                        return uid, off
+                    if K >= B * W:
+                        raise AssertionError("unknown-window overflow at K == B*W")
+                    K = min(B * W, K * 4)
+
+            self._locate = locate_stream
         elif mode == "replica":
             from finito_tpu.query.replica import make_replica_locate
 
@@ -113,6 +164,51 @@ class DeviceQueryEngine:
             raise ValueError(f"unknown engine mode {mode}")
 
     # ---------------- batched core ----------------
+
+    def make_device_pipeline(self, batch: int, read_len: int, unknown_frac: float = 0.5):
+        """Jitted device-resident query step: (B, L) codes (device) ->
+        (uid, off, n_unknown) device arrays. The serving hot path: keep
+        inputs on device (or pipeline transfers). For stream mode the
+        results are only valid when n_unknown <= pipe.K; n_unknown also
+        lets callers right-size K (phase-B cost is proportional to K)."""
+        k = self.k
+        W = read_len - k + 1
+        pos_table = self.pos_table
+        ends_dev = self.ends_dev
+        if self.mode == "dense":
+            dsbwt = self.dsbwt
+
+            jitted = jax.jit(
+                lambda codes: _locate_dense(dsbwt, pos_table, ends_dev, codes, k)
+                + (jnp.int32(0),)
+            )
+
+            def pipe(codes):
+                return jitted(codes)
+
+            pipe.K = batch * W
+            return pipe
+        if self.mode == "stream":
+            from finito_tpu.ops.streaming import make_chain_stream_ranks
+
+            K = max(1024, int(batch * W * unknown_frac))
+            ranks_fn = make_chain_stream_ranks(
+                self._tab, self._n8, self._C, self._ck, k, self._n_nodes, K
+            )
+
+            def _pipe(codes):
+                ranks, n_unknown = ranks_fn(codes)
+                uid, off = _ranks_to_locations(pos_table, ends_dev, ranks, k)
+                return uid, off, n_unknown
+
+            jitted = jax.jit(_pipe)
+
+            def pipe(codes):
+                return jitted(codes)
+
+            pipe.K = K
+            return pipe
+        raise ValueError(f"no device pipeline for mode {self.mode}")
 
     def locate_batch(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """codes: (B, L) uint8 (pad with 255), L >= k. Returns (B, W) unitig

@@ -78,11 +78,11 @@ def test_device_search_matches_host():
     np.testing.assert_array_equal(dev, host)
 
 
-@pytest.fixture(scope="module")
-def fixture_engine():
+@pytest.fixture(scope="module", params=["dense", "stream"])
+def fixture_engine(request):
     spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
     index = build_index(spss, 4)
-    return index, DeviceQueryEngine(index, mode="dense")
+    return index, DeviceQueryEngine(index, mode=request.param)
 
 
 def test_dense_engine_fixture_queries(fixture_engine):
@@ -99,12 +99,13 @@ def test_dense_engine_padded_batch(fixture_engine):
         assert f.local_offsets == index.search(read).local_offsets
 
 
-def test_dense_engine_random_dspss():
+@pytest.mark.parametrize("mode", ["dense", "stream"])
+def test_dense_engine_random_dspss(mode):
     rng = np.random.default_rng(42)
     k = 6
     unitigs = gen_dspss(rng, 12, 8, 40, k)
     index = build_index(unitigs, k)
-    engine = DeviceQueryEngine(index, mode="dense")
+    engine = DeviceQueryEngine(index, mode=mode)
 
     queries = []
     # substrings of unitigs (present), possibly RC'd
