@@ -90,13 +90,16 @@ def update_interval(sbwt: DeviceSBWT, c, lo, hi):
     Empty intervals are (-1, -1); invalid char codes (>3, e.g. pad 255)
     produce empty intervals.
     """
+    from finito_tpu.ops.rank24 import select_C
+
     c = c.astype(jnp.int32)
     valid = (lo >= 0) & (c >= 0) & (c <= 3)
     cs = jnp.where(valid, c, 0)
     los = jnp.where(valid, lo, 0)
     his = jnp.where(valid, hi, 0)
-    nlo = sbwt.C[cs] + rank(sbwt, cs, los)
-    nhi = sbwt.C[cs] + rank(sbwt, cs, his + 1) - 1
+    Cc = select_C(sbwt.C, cs)
+    nlo = Cc + rank(sbwt, cs, los)
+    nhi = Cc + rank(sbwt, cs, his + 1) - 1
     ok = valid & (nlo <= nhi)
     neg = jnp.int32(-1)
     return jnp.where(ok, nlo, neg), jnp.where(ok, nhi, neg)

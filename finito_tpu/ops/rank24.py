@@ -61,6 +61,15 @@ def rank24(tab: jnp.ndarray, n8: int, c, i):
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
 
 
+def select_C(C, cs):
+    """C[cs] for cs in [0,4) as a 4-way select -- a dynamic gather of B
+    elements costs ~8ns/element on v5e while 3 vector selects are free;
+    every gather removed from the per-base loop is ~1 extra M queries/s."""
+    c01 = jnp.where(cs == 0, C[0], C[1])
+    c23 = jnp.where(cs == 2, C[2], C[3])
+    return jnp.where(cs < 2, c01, c23)
+
+
 def update_interval24(tab, n8: int, C, c, lo, hi):
     """Batched SBWT right-extension using rank24 (2 gathers total)."""
     c = c.astype(jnp.int32)
@@ -68,8 +77,9 @@ def update_interval24(tab, n8: int, C, c, lo, hi):
     cs = jnp.where(valid, c, 0)
     los = jnp.where(valid, lo, 0)
     his = jnp.where(valid, hi, 0)
-    nlo = C[cs] + rank24(tab, n8, cs, los)
-    nhi = C[cs] + rank24(tab, n8, cs, his + 1) - 1
+    Cc = select_C(C, cs)
+    nlo = Cc + rank24(tab, n8, cs, los)
+    nhi = Cc + rank24(tab, n8, cs, his + 1) - 1
     ok = valid & (nlo <= nhi)
     neg = jnp.int32(-1)
     return jnp.where(ok, nlo, neg), jnp.where(ok, nhi, neg)

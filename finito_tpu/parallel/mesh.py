@@ -54,7 +54,7 @@ class ShardedIndex:
 
     words: np.ndarray  # (tp, 4, words_per_shard) uint32
     blocks: np.ndarray  # (tp, 4, words_per_shard) int32  (shard-local cumsum)
-    pos_table: np.ndarray  # (tp, nodes_per_shard) int32 global k-mer end, -1 dummy
+    loc_table: np.ndarray  # (tp, nodes_per_shard, 2) int32 (unitig id, offset), -1 dummy
     node_start: np.ndarray  # (tp,) int32 first colex rank of each shard
     C: np.ndarray  # (4,) int32
     ends: np.ndarray  # (n_unitigs,) int32 (replicated; small)
@@ -72,9 +72,22 @@ class ShardedIndex:
         words_per_shard = nodes_per_shard // 32
         words = np.zeros((tp, 4, words_per_shard), dtype=np.uint32)
         blocks = np.zeros((tp, 4, words_per_shard), dtype=np.int32)
-        pos_sh = np.full((tp, nodes_per_shard), -1, dtype=np.int32)
+        loc_sh = np.full((tp, nodes_per_shard, 2), -1, dtype=np.int32)
         node_start = np.zeros(tp, dtype=np.int32)
         from finito_tpu.utils.bits import pack_bits
+
+        # per-colex (uid, offset), resolved once host-side (same tradeoff as
+        # engine.build_locate_tables: 2 gathers/k-mer instead of searchsorted)
+        k = sbwt.get_k()
+        ends64 = np.asarray(index.unitigs.ends, dtype=np.int64)
+        g_end = np.asarray(pos_table, dtype=np.int64)
+        found = g_end >= 0
+        g_start = g_end - k + 1
+        uid_all = np.searchsorted(ends64, g_start, side="right").astype(np.int32)
+        u_start = np.where(uid_all > 0, ends64[np.maximum(uid_all - 1, 0)], 0)
+        off_all = (g_start - u_start).astype(np.int32)
+        uid_all = np.where(found, uid_all, -1)
+        off_all = np.where(found, off_all, -1)
 
         for s in range(tp):
             lo = s * nodes_per_shard
@@ -88,11 +101,12 @@ class ShardedIndex:
                 words[s, c, : w32.size] = w32
                 pc = np.bitwise_count(words[s, c]).astype(np.int64)
                 blocks[s, c, 1:] = np.cumsum(pc[:-1])
-            pos_sh[s, : hi - lo] = pos_table[lo:hi]
+            loc_sh[s, : hi - lo, 0] = uid_all[lo:hi]
+            loc_sh[s, : hi - lo, 1] = off_all[lo:hi]
         return ShardedIndex(
             words=words,
             blocks=blocks,
-            pos_table=pos_sh,
+            loc_table=loc_sh,
             node_start=node_start,
             C=np.asarray(sbwt.get_C_array(), dtype=np.int32),
             ends=np.asarray(index.unitigs.ends, dtype=np.int32),
@@ -132,11 +146,11 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
     n_nodes = sh.n_nodes
     nodes_per_shard = sh.nodes_per_shard
 
-    def locate(words, blocks, pos_table, node_start, C, ends, codes):
+    def locate(words, blocks, loc_table, node_start, C, codes):
         # shapes inside shard_map: words (1, 4, wps), codes (B/dp, L)
         words = words[0]
         blocks = blocks[0]
-        pos_table = pos_table[0]
+        loc_table = loc_table[0]
         start = node_start[0]
 
         def rank_g(c, i):
@@ -170,18 +184,17 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
         lo, hi = lax.fori_loop(0, k, body, (lo, hi))
         found = lo >= 0
 
-        # sharded gather from the position table: owner shard contributes.
+        # sharded gather from the (uid, off) table: owner shard contributes.
         local_idx = jnp.where(found, lo, 0) - start
         in_shard = (local_idx >= 0) & (local_idx < nodes_per_shard)
         safe = jnp.clip(local_idx, 0, nodes_per_shard - 1)
-        contrib = jnp.where(in_shard, jnp.take(pos_table, safe), 0)
-        g_end = lax.psum(contrib, "tp")
-        found = found & (g_end >= 0)
-
-        g_start = g_end - k + 1
-        uid = jnp.searchsorted(ends, g_start, side="right").astype(jnp.int32)
-        u_start = jnp.where(uid > 0, jnp.take(ends, jnp.maximum(uid - 1, 0)), 0)
-        off = g_start - u_start
+        uid_c = jnp.where(in_shard, jnp.take(loc_table[:, 0], safe), 0)
+        off_c = jnp.where(in_shard, jnp.take(loc_table[:, 1], safe), 0)
+        uid = lax.psum(uid_c, "tp")
+        off = lax.psum(off_c, "tp")
+        # non-owner shards contribute 0; the owner contributes -1 for
+        # dummies, so a found-but-dummy rank sums to -1 exactly.
+        found = found & (uid >= 0)
         neg = jnp.int32(-1)
         return jnp.where(found, uid, neg), jnp.where(found, off, neg)
 
@@ -191,10 +204,9 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
         in_specs=(
             P("tp", None, None),  # words
             P("tp", None, None),  # blocks
-            P("tp", None),  # pos_table
+            P("tp", None, None),  # loc_table
             P("tp"),  # node_start
             P(),  # C
-            P(),  # ends
             P("dp", None),  # codes
         ),
         out_specs=(P("dp", None), P("dp", None)),
@@ -202,8 +214,8 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
     )
 
     @jax.jit
-    def run(words, blocks, pos_table, node_start, C, ends, codes):
-        return shmapped(words, blocks, pos_table, node_start, C, ends, codes)
+    def run(words, blocks, loc_table, node_start, C, codes):
+        return shmapped(words, blocks, loc_table, node_start, C, codes)
 
     def call(codes):
         args = [
@@ -211,10 +223,9 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
             for x, spec in (
                 (sh.words, P("tp", None, None)),
                 (sh.blocks, P("tp", None, None)),
-                (sh.pos_table, P("tp", None)),
+                (sh.loc_table, P("tp", None, None)),
                 (sh.node_start, P("tp")),
                 (sh.C, P()),
-                (sh.ends, P()),
             )
         ]
         codes = jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P("dp", None)))

@@ -58,7 +58,9 @@ def build_position_table(
     @jax.jit
     def step(table, kmers, g_end):
         ranks = search_batch_device(dsbwt, kmers)
-        # ranks of real windows are k-mer nodes; invalid rows carry rank -1
+        # invalid rows carry rank -1, which .at[] would WRAP to the last
+        # entry -- remap to n_nodes so mode="drop" actually drops them
+        ranks = jnp.where(ranks < 0, dsbwt.n_nodes, ranks)
         return table.at[ranks].set(g_end, mode="drop")
 
     n_pos = total - k + 1
@@ -75,11 +77,14 @@ def build_position_table(
     return table
 
 
-def _ranks_to_locations(pos_table, ends_dev, ranks, k: int):
-    """colex ranks (B, W) -> ((B, W) unitig ids, (B, W) offsets)."""
-    found = ranks >= 0
-    g_end = jnp.take(pos_table, jnp.where(found, ranks, 0))
-    found = found & (g_end >= 0)
+def build_locate_tables(pos_table, ends_dev, k: int):
+    """Resolve the per-colex global end offsets into per-colex
+    (unitig id, local offset) ONCE at init, so each query k-mer costs two
+    gathers instead of gather + log(n_unitigs)-step searchsorted + gather.
+    +8 bytes/node on top of pos_table's 4 (the compact 'replica' engine
+    exists for memory-bound deployments)."""
+    g_end = pos_table
+    found = g_end >= 0
     g_start = g_end - k + 1
     uid = jnp.searchsorted(ends_dev, g_start, side="right").astype(jnp.int32)
     u_start = jnp.where(uid > 0, jnp.take(ends_dev, jnp.maximum(uid - 1, 0)), 0)
@@ -88,10 +93,21 @@ def _ranks_to_locations(pos_table, ends_dev, ranks, k: int):
     return jnp.where(found, uid, neg), jnp.where(found, off, neg)
 
 
-def _locate_dense(dsbwt: DeviceSBWT, pos_table, ends_dev, codes, k: int):
+def _ranks_to_locations(uid_table, off_table, ranks):
+    """colex ranks (B, W) -> ((B, W) unitig ids, (B, W) offsets)."""
+    found = ranks >= 0
+    safe = jnp.where(found, ranks, 0)
+    uid = jnp.take(uid_table, safe)
+    off = jnp.take(off_table, safe)
+    found = found & (uid >= 0)
+    neg = jnp.int32(-1)
+    return jnp.where(found, uid, neg), jnp.where(found, off, neg)
+
+
+def _locate_dense(dsbwt: DeviceSBWT, uid_table, off_table, codes, k: int):
     """(B, L) codes -> ((B, W) unitig ids, (B, W) offsets); -1 for absent."""
     ranks = kmer_ranks_fixed(dsbwt, codes, k)
-    return _ranks_to_locations(pos_table, ends_dev, ranks, k)
+    return _ranks_to_locations(uid_table, off_table, ranks)
 
 
 class DeviceQueryEngine:
@@ -107,8 +123,11 @@ class DeviceQueryEngine:
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
             )
+            self.uid_table, self.off_table = jax.jit(build_locate_tables, static_argnums=2)(
+                self.pos_table, self.ends_dev, self.k
+            )
             self._locate = jax.jit(
-                lambda codes: _locate_dense(self.dsbwt, self.pos_table, self.ends_dev, codes, self.k)
+                lambda codes: _locate_dense(self.dsbwt, self.uid_table, self.off_table, codes, self.k)
             )
         elif mode == "stream":
             from finito_tpu.ops.rank24 import (
@@ -120,14 +139,16 @@ class DeviceQueryEngine:
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
             )
+            self.uid_table, self.off_table = jax.jit(build_locate_tables, static_argnums=2)(
+                self.pos_table, self.ends_dev, self.k
+            )
             tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
             n8 = tab.shape[0] // 4
             C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
             ck = jnp.asarray(build_contract_k_table(index.LCS, self.k))
             n_nodes = index.sbwt.number_of_subsets()
             self._tab, self._n8, self._C, self._ck, self._n_nodes = tab, n8, C, ck, n_nodes
-            pos_table = self.pos_table
-            ends_dev = self.ends_dev
+            uid_table, off_table = self.uid_table, self.off_table
             k = self.k
             stream_cache = {}
 
@@ -136,7 +157,7 @@ class DeviceQueryEngine:
 
                 def f(codes):
                     ranks, n_unknown = ranks_fn(codes)
-                    uid, off = _ranks_to_locations(pos_table, ends_dev, ranks, k)
+                    uid, off = _ranks_to_locations(uid_table, off_table, ranks)
                     return uid, off, n_unknown > K
 
                 return jax.jit(f)
@@ -173,13 +194,12 @@ class DeviceQueryEngine:
         lets callers right-size K (phase-B cost is proportional to K)."""
         k = self.k
         W = read_len - k + 1
-        pos_table = self.pos_table
-        ends_dev = self.ends_dev
+        uid_table, off_table = self.uid_table, self.off_table
         if self.mode == "dense":
             dsbwt = self.dsbwt
 
             jitted = jax.jit(
-                lambda codes: _locate_dense(dsbwt, pos_table, ends_dev, codes, k)
+                lambda codes: _locate_dense(dsbwt, uid_table, off_table, codes, k)
                 + (jnp.int32(0),)
             )
 
@@ -198,7 +218,7 @@ class DeviceQueryEngine:
 
             def _pipe(codes):
                 ranks, n_unknown = ranks_fn(codes)
-                uid, off = _ranks_to_locations(pos_table, ends_dev, ranks, k)
+                uid, off = _ranks_to_locations(uid_table, off_table, ranks)
                 return uid, off, n_unknown
 
             jitted = jax.jit(_pipe)

@@ -78,6 +78,32 @@ def test_device_search_matches_host():
     np.testing.assert_array_equal(dev, host)
 
 
+def test_position_table_exact():
+    """Every colex node's entry equals its k-mer's true global end; -1 for
+    dummies. Regression: absent/invalid windows carry rank -1, and a
+    .at[-1] scatter WRAPS to the last node instead of dropping, so the
+    last colex entry used to be corrupted nondeterministically."""
+    from finito_tpu.query.engine import build_position_table
+
+    spss = [b"ACAGGTA", b"GTAGGAAA", b"GTAAGTCT"]  # the paper example.fna
+    k = 4
+    sbwt = build_plain_matrix_sbwt(spss, k)
+    index = FinimizerIndexBuilder(sbwt, lcs_array(sbwt), SeqDB.from_sequences(spss)).get_index()
+    d = DeviceSBWT.from_host(index.sbwt)
+    got = np.asarray(build_position_table(d, index.unitigs.concat, index.unitigs.ends))
+
+    concat, ends = index.unitigs.concat, np.asarray(index.unitigs.ends, np.int64)
+    expected = np.full(index.sbwt.number_of_subsets(), -1, dtype=np.int32)
+    start = 0
+    for e in ends:
+        for s in range(start, e - k + 1):
+            r = index.sbwt.search_batch(concat[s : s + k][None, :])[0]
+            assert r >= 0
+            expected[r] = s + k - 1
+        start = e
+    np.testing.assert_array_equal(got, expected)
+
+
 @pytest.fixture(scope="module", params=["dense", "stream"])
 def fixture_engine(request):
     spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
