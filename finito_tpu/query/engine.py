@@ -177,6 +177,34 @@ class DeviceQueryEngine:
                     K = min(B * W, K * 4)
 
             self._locate = locate_stream
+        elif mode == "minimizer":
+            from finito_tpu.index.minimizer import MinimizerIndex
+            from finito_tpu.query.minimizer_engine import (
+                DeviceMinimizerIndex,
+                make_minimizer_locate,
+            )
+
+            if self.k > 32:
+                raise ValueError("minimizer engine currently supports k <= 32")
+            self._dmi = DeviceMinimizerIndex(MinimizerIndex.from_finimizer_index(index))
+            dmi = self._dmi
+            mini_cache = {}
+
+            def locate_minimizer(codes):
+                B, L = codes.shape
+                W = L - self.k + 1
+                K = max(256, (B * W) // 32)
+                while True:
+                    if K not in mini_cache:
+                        mini_cache[K] = jax.jit(make_minimizer_locate(dmi, K))
+                    uid, off, n_slow = mini_cache[K](codes)
+                    if int(n_slow) <= K:
+                        return uid, off
+                    if K >= B * W:
+                        raise AssertionError("slow-path overflow at K == B*W")
+                    K = min(B * W, K * 4)
+
+            self._locate = locate_minimizer
         elif mode == "replica":
             from finito_tpu.query.replica import make_replica_locate
 
@@ -194,6 +222,17 @@ class DeviceQueryEngine:
         lets callers right-size K (phase-B cost is proportional to K)."""
         k = self.k
         W = read_len - k + 1
+        if self.mode == "minimizer":
+            from finito_tpu.query.minimizer_engine import make_minimizer_locate
+
+            K = max(256, int(batch * W * unknown_frac))
+            jitted = jax.jit(make_minimizer_locate(self._dmi, K))
+
+            def pipe(codes):
+                return jitted(codes)
+
+            pipe.K = K
+            return pipe
         uid_table, off_table = self.uid_table, self.off_table
         if self.mode == "dense":
             dsbwt = self.dsbwt

@@ -1,0 +1,214 @@
+"""Device (JAX/TPU) query path for the minimizer seed-and-verify index.
+
+Per (B, W) window batch, entirely divergence-free on the fast path:
+
+  1. minimizer value+offset per window  -- rolling VPU ops, 0 gathers
+  2. bucket descriptor                  -- 1 gather  (direct-addressed)
+  3. single-occurrence candidate        -- 4 gathers (gstart, uid, off, uend)
+  4. packed-text verification           -- 3 gathers (three uint32 words)
+
+Multi-occurrence buckets (repeated minimizers; rare with a well-chosen m)
+are compacted and resolved by an exact candidate-scan while_loop. Output
+is identical to FinimizerIndex.search / the SBWT engines: (uid, off) or
+(-1, -1) per window.
+
+TPU design notes: batched HBM gathers are the only scarce resource
+(~100-200M/s on v5e); everything else here (rolling packs, sliding min,
+funnel shifts, compares) is VPU work that XLA fuses between the gathers.
+The reference resolves the same query through rank/select on succinct
+bitvectors (FinimizerIndex.hh:119-185) -- the array-gather form is the
+TPU-native re-design, not a translation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from finito_tpu.index.minimizer import MinimizerIndex, _LEN_SAT
+
+
+def pack_text_words(concat: np.ndarray) -> np.ndarray:
+    """2-bit pack host codes into uint32 words, base j at bits [2j, 2j+2)
+    of the word stream (sdsl/PackedStrings bit order); +2 pad words so a
+    3-word window load at the last base never reads out of bounds."""
+    n = concat.size
+    n_words = (2 * n + 31) // 32 + 2
+    bits = np.zeros(n_words * 16, dtype=np.uint32)  # 16 bases per word
+    bits[:n] = concat
+    by = bits.reshape(n_words, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    return (by << shifts).sum(axis=1, dtype=np.uint32)
+
+
+class DeviceMinimizerIndex:
+    """Device-resident arrays of a MinimizerIndex."""
+
+    def __init__(self, mindex: MinimizerIndex):
+        self.k = mindex.k
+        self.m = mindex.m
+        self.n_occ = int(mindex.occ_key.size)
+        self.desc = jnp.asarray(mindex.desc)
+        self.occ_key = jnp.asarray(mindex.occ_key)
+        self.occ_gstart = jnp.asarray(mindex.occ_gstart)
+        self.occ_uid = jnp.asarray(mindex.occ_uid)
+        self.occ_off = jnp.asarray(mindex.occ_off)
+        self.ends = jnp.asarray(mindex.ends, dtype=jnp.int32)
+        self.text = jnp.asarray(pack_text_words(mindex.concat))
+
+
+def _kmer_masks(k: int) -> Tuple[np.uint32, np.uint32]:
+    """Bit masks of the valid 2k bits in the (lo, hi) uint32 pair."""
+    if k >= 32:
+        return np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF)
+    if k >= 16:
+        return np.uint32(0xFFFFFFFF), np.uint32((1 << (2 * k - 32)) - 1)
+    return np.uint32((1 << (2 * k)) - 1), np.uint32(0)
+
+
+def _load_text_kmer(text, g):
+    """Gather the 64 text bits starting at base g: three funnel-shifted
+    uint32 words -> (lo, hi)."""
+    bit = (g.astype(jnp.uint32) << jnp.uint32(1))
+    w0 = (bit >> jnp.uint32(5)).astype(jnp.int32)
+    sh = bit & jnp.uint32(31)
+    t0 = jnp.take(text, w0)
+    t1 = jnp.take(text, w0 + 1)
+    t2 = jnp.take(text, w0 + 2)
+    nz = sh > 0
+    inv = jnp.where(nz, jnp.uint32(32) - sh, jnp.uint32(0))
+    lo = (t0 >> sh) | jnp.where(nz, t1 << inv, jnp.uint32(0))
+    hi = (t1 >> sh) | jnp.where(nz, t2 << inv, jnp.uint32(0))
+    return lo, hi
+
+
+def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, qlo, qhi, mask_lo, mask_hi, k):
+    """Verify occurrence `idx` against the query window whose minimizer
+    offset is `o`. Returns (match, uid, off)."""
+    g_m = jnp.take(dmi.occ_gstart, idx)
+    uid = jnp.take(dmi.occ_uid, idx)
+    off_m = jnp.take(dmi.occ_off, idx)
+    g_w = g_m - o
+    off_w = off_m - o
+    uend = jnp.take(dmi.ends, uid)
+    ok = (off_w >= 0) & (g_w + k <= uend)
+    lo, hi = _load_text_kmer(dmi.text, jnp.maximum(g_w, 0))
+    match = ok & (((lo ^ qlo) & mask_lo) == 0) & (((hi ^ qhi) & mask_hi) == 0)
+    return match, uid, off_w
+
+
+def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
+    """Jittable (B, L) codes -> ((B, W) uid, (B, W) off, n_slow).
+
+    K_slow bounds the compacted multi-occurrence windows resolved on
+    device; results are valid only when n_slow <= K_slow (caller re-runs
+    with a larger bound otherwise -- same contract as the stream engine).
+    """
+    k, m = dmi.k, dmi.m
+    R = k - m + 1
+    mask_lo, mask_hi = _kmer_masks(k)
+    n_occ = dmi.n_occ
+
+    def run(codes):
+        B, L = codes.shape
+        W = L - k + 1
+        c = codes.astype(jnp.uint32)
+
+        # --- rolling m-mer values (first char most significant) and
+        #     window validity, zero gathers
+        nm = L - m + 1
+        mv = jnp.zeros((B, nm), jnp.uint32)
+        bad_m = jnp.zeros((B, nm), jnp.bool_)
+        for i in range(m):
+            ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
+            mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
+            bad_m = bad_m | (ci > 3)
+
+        # selection order = mix32(value) ("random minimizers", see
+        # index.minimizer.mix32); ties keep the leftmost, same as build
+        hv = (mv * jnp.uint32(0x9E3779B1)) ^ (mv >> jnp.uint32(16))
+        best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
+        best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
+        best_o = jnp.zeros((B, W), jnp.int32)
+        bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
+        for r in range(1, R):
+            cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
+            cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
+            upd = cand_h < best_h  # strict: keeps the leftmost minimum
+            best_v = jnp.where(upd, cand_v, best_v)
+            best_h = jnp.where(upd, cand_h, best_h)
+            best_o = jnp.where(upd, r, best_o)
+            bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
+
+        # --- packed query windows (text bit order: base i at bits 2i)
+        qlo = jnp.zeros((B, W), jnp.uint32)
+        qhi = jnp.zeros((B, W), jnp.uint32)
+        for i in range(min(k, 32)):
+            ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
+            if i < 16:
+                qlo = qlo | (ci << jnp.uint32(2 * i))
+            else:
+                qhi = qhi | (ci << jnp.uint32(2 * (i - 16)))
+
+        # --- bucket descriptor (1 gather)
+        d = jnp.take(dmi.desc, jnp.where(bad, 0, best_v).astype(jnp.int32))
+        start = (d >> jnp.uint32(3)).astype(jnp.int32)
+        ln = (d & jnp.uint32(_LEN_SAT)).astype(jnp.int32)
+        ln = jnp.where(bad, 0, ln)
+
+        # --- fast path: single-occurrence buckets (4 + 3 gathers)
+        fast = ln == 1
+        idx = jnp.where(fast, start, 0)
+        match, uid_f, off_f = _check_candidate(
+            dmi, idx, best_o, qlo, qhi, mask_lo, mask_hi, k
+        )
+        found_f = fast & match
+        neg = jnp.int32(-1)
+        uid = jnp.where(found_f, uid_f, neg)
+        off = jnp.where(found_f, off_f, neg)
+
+        # --- slow path: multi-occurrence buckets, compacted
+        slow_mask = (ln >= 2).reshape(-1)
+        n_slow = jnp.sum(slow_mask, dtype=jnp.int32)
+        (flat_idx,) = jnp.nonzero(slow_mask, size=K_slow, fill_value=-1)
+        valid = flat_idx >= 0
+        safe = jnp.where(valid, flat_idx, 0)
+        s_start = jnp.take(start.reshape(-1), safe)
+        s_v = jnp.take(best_v.reshape(-1), safe)
+        s_o = jnp.take(best_o.reshape(-1), safe)
+        s_qlo = jnp.take(qlo.reshape(-1), safe)
+        s_qhi = jnp.take(qhi.reshape(-1), safe)
+
+        def cond(st):
+            i, uid, off, done = st
+            return jnp.any(~done)
+
+        def body(st):
+            i, uid, off, done = st
+            in_range = i < n_occ
+            ci = jnp.where(in_range, i, 0)
+            key_ok = in_range & (jnp.take(dmi.occ_key, ci) == s_v)
+            match, uid_c, off_c = _check_candidate(
+                dmi, ci, s_o, s_qlo, s_qhi, mask_lo, mask_hi, k
+            )
+            hit = ~done & key_ok & match
+            uid = jnp.where(hit, uid_c, uid)
+            off = jnp.where(hit, off_c, off)
+            done = done | hit | ~key_ok
+            return i + 1, uid, off, done
+
+        i0 = s_start
+        uid_s = jnp.full((K_slow,), -1, jnp.int32)
+        off_s = jnp.full((K_slow,), -1, jnp.int32)
+        _, uid_s, off_s, _ = lax.while_loop(cond, body, (i0, uid_s, off_s, ~valid))
+
+        BW = uid.size
+        uid = uid.reshape(-1).at[jnp.where(valid, flat_idx, BW)].set(uid_s, mode="drop")
+        off = off.reshape(-1).at[jnp.where(valid, flat_idx, BW)].set(off_s, mode="drop")
+        return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow
+
+    return run

@@ -1,0 +1,170 @@
+"""Minimizer seed-and-verify index: host oracle, device engine, and the
+kmer-mapper-style property tests (mirrors the reference's Rust test
+strategy, ref_implementation/src/minimizer_index.rs:437-610: brute-force
+occurrence map as ground truth, deterministic seeds, serialize round-trip).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from finito_tpu.index.builder import FinimizerIndexBuilder
+from finito_tpu.index.minimizer import MinimizerIndex, pack_mvals
+from finito_tpu.io.seqdb import SeqDB, encode_seq
+from finito_tpu.query.engine import DeviceQueryEngine
+from finito_tpu.query.minimizer_engine import DeviceMinimizerIndex, make_minimizer_locate
+from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+from finito_tpu.sbwt.lcs import lcs_array
+
+from tests.test_device_engine import build_index, gen_dspss
+
+
+def brute_force_occurrences(unitigs, k):
+    """uid, offset of every k-mer (assumes each occurs at most once)."""
+    table = {}
+    for uid, u in enumerate(unitigs):
+        for i in range(len(u) - k + 1):
+            table[u[i : i + k]] = (uid, i)
+    return table
+
+
+def test_pack_mvals_lexicographic_order():
+    # numeric compare of packed values == lexicographic compare of m-mers
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        a = rng.integers(0, 4, size=6).astype(np.uint8)
+        b = rng.integers(0, 4, size=6).astype(np.uint8)
+        va, vb = int(pack_mvals(a, 6)[0]), int(pack_mvals(b, 6)[0])
+        assert (va < vb) == (a.tobytes() < b.tobytes())
+
+
+def test_host_lookup_vs_brute_force():
+    rng = np.random.default_rng(7)
+    k = 8
+    unitigs = gen_dspss(rng, 10, 10, 60, k)
+    permuted = _permuted_unitigs(unitigs, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in permuted])
+    ends = np.cumsum([len(u) for u in permuted])
+    mi = MinimizerIndex.build(concat, ends, k)
+    truth = brute_force_occurrences(permuted, k)
+    # all present k-mers
+    for kmer, want in truth.items():
+        got = mi.lookup_kmer_host(encode_seq(kmer.encode()))
+        assert got == want, kmer
+    # random (mostly absent) k-mers
+    for _ in range(200):
+        kmer = "".join(rng.choice(list("ACGT"), k))
+        got = mi.lookup_kmer_host(encode_seq(kmer.encode()))
+        assert got == truth.get(kmer, (-1, -1)), kmer
+
+
+def _permuted_unitigs(unitigs, k):
+    """Unitig order of the built FinimizerIndex (colex of first k-mer),
+    so (uid, off) answers line up with the SBWT engines."""
+    index = build_index(unitigs, k)
+    out = []
+    start = 0
+    from finito_tpu.io.seqdb import decode_seq
+
+    for e in np.asarray(index.unitigs.ends):
+        out.append(decode_seq(index.unitigs.concat[start:e]).decode())
+        start = int(e)
+    return out
+
+
+def test_serialize_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    k = 8
+    unitigs = gen_dspss(rng, 6, 12, 40, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in unitigs])
+    ends = np.cumsum([len(u) for u in unitigs])
+    mi = MinimizerIndex.build(concat, ends, k)
+    p = str(tmp_path / "idx.ftm")
+    mi.serialize(p)
+    mi2 = MinimizerIndex.load(p)
+    assert mi2.k == mi.k and mi2.m == mi.m
+    np.testing.assert_array_equal(mi2.desc, mi.desc)
+    np.testing.assert_array_equal(mi2.occ_gstart, mi.occ_gstart)
+    np.testing.assert_array_equal(mi2.concat, mi.concat)
+    for _ in range(50):
+        kmer = encode_seq("".join(rng.choice(list("ACGT"), k)).encode())
+        assert mi.lookup_kmer_host(kmer) == mi2.lookup_kmer_host(kmer)
+
+
+def test_minimizer_engine_matches_oracle():
+    rng = np.random.default_rng(42)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 8, 40, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    queries = []
+    for _ in range(25):
+        u = unitigs[int(rng.integers(len(unitigs)))]
+        if len(u) <= k:
+            continue
+        a = int(rng.integers(0, len(u) - k + 1))
+        b = int(rng.integers(a + k, len(u) + 1))
+        queries.append(u[a:b].encode())
+    for _ in range(25):
+        L = int(rng.integers(k, 30))
+        queries.append("".join(rng.choice(list("ACGT"), L)).encode())
+    for q in queries:
+        f, _ = engine.search_fwd_rc(q)
+        want = index.search(q)
+        assert f.local_offsets == want.local_offsets, q
+        assert f.n_found == want.n_found
+
+
+@pytest.mark.parametrize("m", [3, 4])
+def test_minimizer_slow_path_small_m(m):
+    """Tiny m forces multi-occurrence buckets -> the while-loop slow path."""
+    rng = np.random.default_rng(11)
+    k = 8
+    unitigs = gen_dspss(rng, 8, 12, 50, k)
+    permuted = _permuted_unitigs(unitigs, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in permuted])
+    ends = np.cumsum([len(u) for u in permuted])
+    mi = MinimizerIndex.build(concat, ends, k, m=m)
+    assert int((mi.desc & 7).max()) >= 2, "fixture must exercise buckets >= 2"
+    dmi = DeviceMinimizerIndex(mi)
+    locate = jax.jit(make_minimizer_locate(dmi, 4096))
+    truth = brute_force_occurrences(permuted, k)
+
+    L = 40
+    B = 32
+    reads = np.full((B, L), 255, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int64)
+    for b in range(B):
+        if b % 2 == 0:
+            u = permuted[int(rng.integers(len(permuted)))]
+            a = int(rng.integers(0, max(1, len(u) - L)))
+            s = u[a : a + L]
+        else:
+            s = "".join(rng.choice(list("ACGT"), int(rng.integers(k, L))))
+        codes = encode_seq(s.encode())
+        reads[b, : codes.size] = codes
+        lens[b] = codes.size
+
+    uid, off, n_slow = locate(reads)
+    uid, off = np.asarray(uid), np.asarray(off)
+    assert int(n_slow) <= 4096
+    for b in range(B):
+        n_win = int(lens[b]) - k + 1
+        s_codes = reads[b, : lens[b]]
+        s_str = "".join("ACGT"[c] for c in s_codes)
+        for w in range(n_win):
+            want = truth.get(s_str[w : w + k], (-1, -1))
+            assert (int(uid[b, w]), int(off[b, w])) == want, (b, w)
+
+
+def test_minimizer_engine_padded_and_invalid():
+    rng = np.random.default_rng(5)
+    k = 6
+    unitigs = gen_dspss(rng, 8, 8, 30, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    reads = [b"ACGTACGTACGT", unitigs[0].encode(), b"ACG", b"ACGNACGTACG"]
+    out = engine.process_reads(reads)
+    for read, (f, _r) in zip(reads, out):
+        assert f.local_offsets == index.search(read).local_offsets, read
