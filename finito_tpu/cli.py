@@ -251,7 +251,8 @@ def search_fmin(argv: List[str]) -> int:
         help="Query FASTA/FASTQ, possibly gzipped; .txt = list of query files.",
     )
     p.add_argument(
-        "--engine", default="oracle", choices=["oracle", "dense", "stream", "replica"],
+        "--engine", default="oracle",
+        choices=["oracle", "dense", "stream", "minimizer", "replica"],
         help="Query engine: host oracle (exact reference algorithm), or the "
         "batched TPU engines (identical output).",
     )
@@ -335,10 +336,17 @@ def search_fmin(argv: List[str]) -> int:
 # ------------------------------------------------------------------- main
 
 
+def _kmer_mapper(argv: List[str]) -> int:
+    from finito_tpu import kmer_mapper
+
+    return kmer_mapper.main(argv)
+
+
 COMMANDS = {
     "build-fmin": build_fmin,
     "search-fmin": search_fmin,
     "sbwt-build": sbwt_build,
+    "kmer-mapper": _kmer_mapper,
 }
 
 

@@ -85,6 +85,8 @@ class MinimizerIndex:
     occ_off: np.ndarray  # (n_occ,) int32 local start offset within unitig
     concat: np.ndarray  # (n_text,) uint8 2-bit codes (shared with FinimizerIndex)
     ends: np.ndarray  # (n_unitigs,) int64 exclusive ends
+    headers: list | None = None  # optional FASTA headers (kmer-mapper parity:
+    # extract-index-unitigs reproduces records, main.rs:108-114)
 
     # ------------------------------------------------------------- build
     @staticmethod
@@ -168,6 +170,7 @@ class MinimizerIndex:
         """Single-file format: magic + header + raw little-endian arrays
         (the reference's kmer-mapper uses magic 'KMIDXv01' + a bincode
         payload, main.rs:63-72; ours is its spiritual twin)."""
+        headers_blob = b"\n".join(self.headers) if self.headers is not None else b""
         arrs = [
             self.occ_key.astype("<u4"),
             self.occ_gstart.astype("<i4"),
@@ -175,6 +178,7 @@ class MinimizerIndex:
             self.occ_off.astype("<i4"),
             self.concat.astype("u1"),
             self.ends.astype("<i8"),
+            np.frombuffer(headers_blob, dtype="u1"),
         ]
         with open(path, "wb") as f:
             f.write(_MAGIC)
@@ -200,6 +204,7 @@ class MinimizerIndex:
         occ_off = np.frombuffer(raw[3], dtype="<i4")
         concat = np.frombuffer(raw[4], dtype="u1")
         ends = np.frombuffer(raw[5], dtype="<i8")
+        headers = raw[6].split(b"\n") if len(raw) > 6 and raw[6] else None
         counts = np.bincount(occ_key, minlength=4**m) if occ_key.size else np.zeros(4**m, np.int64)
         starts = np.zeros(4**m, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
@@ -210,6 +215,7 @@ class MinimizerIndex:
             k=int(k), m=int(m), desc=desc, occ_key=occ_key.copy(),
             occ_gstart=occ_gstart.copy(), occ_uid=occ_uid.copy(),
             occ_off=occ_off.copy(), concat=concat.copy(), ends=ends.copy(),
+            headers=headers,
         )
 
     def size_in_bytes(self) -> int:
@@ -222,6 +228,32 @@ class MinimizerIndex:
         ) + (self.concat.size + 3) // 4  # concat counts at 2 bits/base
 
     # -------------------------------------------------------- host query
+    def lookup_kmer_host_all(self, codes: np.ndarray):
+        """ALL occurrences of one k-mer as a list of (uid, off) -- the
+        reference's lookup_kmer returns the full candidate-verified list
+        so the CLI can error on multi-unitig k-mers (main.rs:89-92)."""
+        k, m = self.k, self.m
+        assert codes.size == k
+        if np.any(codes > 3):
+            return []
+        mv = pack_mvals(codes, m)
+        o = int(np.argmin(mix32(mv)))
+        v = int(mv[o])
+        out = []
+        i = int(self.desc[v]) >> 3
+        while i < self.occ_key.size and self.occ_key[i] == v:
+            g = int(self.occ_gstart[i]) - o
+            uid = int(self.occ_uid[i])
+            off = int(self.occ_off[i]) - o
+            if (
+                off >= 0
+                and g + k <= int(self.ends[uid])
+                and np.array_equal(self.concat[g : g + k], codes)
+            ):
+                out.append((uid, off))
+            i += 1
+        return out
+
     def lookup_kmer_host(self, codes: np.ndarray):
         """Host oracle for one k-mer: (uid, off) or (-1, -1). Mirrors the
         reference's lookup_kmer (minimizer_index.rs:228-260)."""

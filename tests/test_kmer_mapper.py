@@ -1,0 +1,153 @@
+"""kmer-mapper CLI parity with the reference's Rust binary semantics
+(ref_implementation/src/main.rs:42-105): colex-of-first-k-mer unitig
+permutation, (u,p)/(-1,-1) output lines, -r RC merge with self-RC skip,
+multi-occurrence error, extract-index-unitigs round trip."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from finito_tpu import kmer_mapper
+
+EXAMPLE = "/root/reference/ref_implementation/example.fna"
+
+
+def run_cmd(args, **kw):
+    env = dict(os.environ, FINITO_JAX_PLATFORM="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "finito_tpu.kmer_mapper", *args],
+        capture_output=True, text=True, cwd="/root/repo", env=env, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def example_index(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("km") / "idx")
+    r = run_cmd(["build", "-u", EXAMPLE, "-k", "4", "-o", p])
+    assert r.returncode == 0, r.stderr
+    return p
+
+
+def test_permutation_matches_colex(example_index):
+    from finito_tpu.index.minimizer import MinimizerIndex
+    from finito_tpu.io.seqdb import decode_seq
+
+    mi = MinimizerIndex.load(example_index)
+    # example.fna unitigs: ACAGGTA(h=2), GTAGGAAA(h=3), GTAAGTCT(h=1);
+    # colex of first 4-mers: GTAA < ACAG < GTAG
+    start = 0
+    seqs = []
+    for e in mi.ends:
+        seqs.append(decode_seq(mi.concat[start : int(e)]).decode())
+        start = int(e)
+    assert seqs == ["GTAAGTCT", "ACAGGTA", "GTAGGAAA"]
+    assert mi.headers == [b"1", b"2", b"3"]
+
+
+def _query_lines(example_index, qfile, extra=()):
+    r = run_cmd(["query", "-i", example_index, "-q", qfile, *extra])
+    assert r.returncode == 0, r.stderr
+    return r.stdout.splitlines()
+
+
+@pytest.mark.parametrize("extra", [(), ("--host-exact",)])
+def test_query_output(example_index, tmp_path, extra):
+    q = tmp_path / "q.fna"
+    q.write_text(">q1\nACAGGTAAGT\n>q2\nTTTT\n")
+    lines = _query_lines(example_index, str(q), extra)
+    # ACAGGTAAGT: windows map into ACAGGTA (uid 1) then GTAAGTCT (uid 0)
+    assert lines[0] == "(1,0) (1,1) (1,2) (1,3) (0,0) (0,1) (0,2)"
+    assert lines[1] == "(-1,-1)"
+
+
+@pytest.mark.parametrize("extra", [(), ("--host-exact",)])
+def test_query_rc_merge(example_index, tmp_path, extra):
+    from finito_tpu.io.fastx import reverse_complement
+
+    q = tmp_path / "q.fna"
+    # RC of GTAAGTCT; only findable with -r
+    q.write_text(">r\n" + reverse_complement(b"GTAAGTCT").decode() + "\n")
+    lines = _query_lines(example_index, str(q), extra)
+    assert all(p == "(-1,-1)" for p in lines[0].split())
+    r = run_cmd(["query", "-i", example_index, "-q", str(q), "-r", *extra])
+    assert r.returncode == 0, r.stderr
+    # RC window w corresponds to forward window W-1-w: offsets 4,3,2,1,0
+    assert r.stdout.splitlines()[0] == "(0,4) (0,3) (0,2) (0,1) (0,0)"
+
+
+def test_query_multioccurrence_error(tmp_path):
+    # the k-mer ACGT occurs in two unitigs -> reference errors out
+    u = tmp_path / "u.fna"
+    u.write_text(">1\nACGTA\n>2\nCACGT\n")
+    p = str(tmp_path / "idx")
+    r = run_cmd(["build", "-u", str(u), "-k", "4", "-o", p])
+    assert r.returncode == 0, r.stderr
+    q = tmp_path / "q.fna"
+    q.write_text(">q\nACGT\n")
+    r = run_cmd(["query", "-i", p, "-q", str(q), "--host-exact"])
+    assert r.returncode == 1
+    assert "occurs in 2 unitigs" in r.stderr
+
+
+def test_extract_index_unitigs(example_index, tmp_path):
+    out = tmp_path / "out.fna"
+    r = run_cmd(["extract-index-unitigs", "-i", example_index, "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == ">1\nGTAAGTCT\n>2\nACAGGTA\n>3\nGTAGGAAA\n"
+
+
+def test_matches_search_fmin_on_random_dspss(tmp_path):
+    """kmer-mapper and search-fmin agree on (u,p) for DSPSS inputs."""
+    from tests.test_device_engine import build_index
+    from finito_tpu.io.fastx import reverse_complement as _rc
+
+    # DSPSS whose k-mer set is also RC-free: with -r the Rust semantics
+    # error whenever a k-mer AND its RC both occur (2 occurrences).
+    rng = np.random.default_rng(9)
+    k = 6
+    seen = set()
+    unitigs = []
+    while len(unitigs) < 10:
+        L = int(rng.integers(8, 41))
+        s = "".join(rng.choice(list("ACGT"), L))
+        kmers = {s[i : i + k] for i in range(L - k + 1)}
+        rcs = {_rc(x.encode()).decode() for x in kmers}
+        if len(kmers) != L - k + 1 or (kmers | rcs) & seen or kmers & rcs:
+            continue
+        seen |= kmers | rcs
+        unitigs.append(s)
+    u = tmp_path / "u.fna"
+    u.write_text("".join(f">{i}\n{s}\n" for i, s in enumerate(unitigs)))
+    p = str(tmp_path / "idx")
+    r = run_cmd(["build", "-u", str(u), "-k", str(k), "-o", p])
+    assert r.returncode == 0, r.stderr
+
+    index = build_index(unitigs, k)
+    queries = []
+    for _ in range(10):
+        s = unitigs[int(rng.integers(len(unitigs)))]
+        queries.append(s)
+    for _ in range(10):
+        queries.append("".join(rng.choice(list("ACGT"), int(rng.integers(k, 25)))))
+    q = tmp_path / "q.fna"
+    q.write_text("".join(f">q{i}\n{s}\n" for i, s in enumerate(queries)))
+
+    r = run_cmd(["query", "-i", p, "-q", str(q), "-r"])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    from finito_tpu.io.fastx import reverse_complement
+
+    for qs, line in zip(queries, lines):
+        fwd = index.search(qs.encode()).local_offsets
+        rev = index.search(reverse_complement(qs.encode())).local_offsets
+        want = []
+        for i in range(len(fwd)):
+            want.append(fwd[i] if fwd[i][0] != -1 else rev[len(qs) - k - i])
+        got = [
+            tuple(int(x) for x in pair.strip("()").split(","))
+            for pair in line.split()
+        ]
+        assert got == want, qs
