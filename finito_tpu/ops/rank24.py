@@ -35,14 +35,15 @@ RANK24_MAX_NODES = 1 << 24
 
 
 def build_rank24_tables(bit_rows: np.ndarray) -> np.ndarray:
-    """(4, n) 0/1 -> flat (4 * n8,) uint32 packed rank|byte entries."""
+    """(R, n) 0/1 -> flat (R * n8,) uint32 packed rank|byte entries
+    (R = 4 for the SBWT out-edge matrix; R = 1 for a plain bitvector)."""
     n = bit_rows.shape[1]
     if n >= RANK24_MAX_NODES:
         raise ValueError(f"rank24 supports < 2^24 nodes, got {n}")
     n8 = (n + 7) // 8 + 1  # pad entry so i == n is addressable
-    out = np.zeros((4, n8), dtype=np.uint32)
+    out = np.zeros((bit_rows.shape[0], n8), dtype=np.uint32)
     weights = (1 << np.arange(8)).astype(np.uint32)
-    for c in range(4):
+    for c in range(bit_rows.shape[0]):
         padded = np.zeros(n8 * 8, dtype=np.uint8)
         padded[:n] = bit_rows[c]
         by = padded.reshape(n8, 8)

@@ -1,0 +1,229 @@
+"""The "replica" device engine: the reference's exact streaming query on
+TPU, resolving positions through the index's own dictionaries -- no dense
+per-node position table.
+
+This is FinimizerIndex::search (FinimizerIndex.hh:119-185) +
+rarest_fmin_streaming_search (common.hh:78-186) re-shaped for the TPU:
+
+  * ONE exact chain scan per read batch. The k-mer interval evolves
+    exactly like the reference's: extension, and on failure LCS-guided
+    left-contraction (drop_first_char, common.hh:38-48) until the
+    extension succeeds -- a bounded in-step recovery loop over packed
+    LCS jump tables (amortized O(1) drops/char, same as the reference).
+    Unlike the throughput engines there is no restart and no repair
+    phase: every window's status is decided in this single pass.
+  * Finimizer candidates collapse to a closed form: when the interval of
+    the scanned suffix is a singleton {x}, the SHORTEST unique suffix
+    ending there has length SU[x] = max(LCS[x], LCS[x+1]) + 1 and colex
+    exactly x (widening [x,x] past both LCS bounds moves neither side).
+    The reference discovers the same value with a shrink-from-the-left
+    loop (common.hh:145-154); the closed form is one gather. Candidates
+    the reference's greedy interval would not emit are always strictly
+    dominated by an emitted in-window candidate (the earlier candidate
+    has start >= theirs and strictly smaller length), so the per-window
+    (len, colex, end)-minimum -- the reference's monotone deque
+    (common.hh:155-163) -- is identical.
+  * Rightmost Ustart singleton tracking (common.hh:167) is a running
+    carry; per window the branch dictionary is used iff that position is
+    at/after the window finimizer's end (FinimizerIndex.hh:158-164),
+    else the finimizer dictionary -- NOT an optimization: the finimizer
+    dictionary stores one canonical occurrence (last-larger-local-end,
+    FinimizerIndex.hh:370-378) and the Ustart rule is what makes the
+    arithmetic land on the right occurrence.
+
+Memory = serialized index + derived lookup tables (rank24 of the SBWT
+and the fmin/Ustart bitvectors, LCS jump/contract/SU arrays) -- the
+compact counterpart of the dense/minimizer engines' position tables.
+Output equals FinimizerIndex.search bit-exactly (tested vs the oracle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from finito_tpu.ops.rank24 import (
+    build_contract_k_table,
+    build_lcs_jump_tables,
+    build_rank24_tables,
+    update_interval24,
+    widen_interval,
+)
+
+_NO_CAND = 255  # cand_len sentinel (k <= 250 < 255)
+
+
+def build_su_table(LCS: np.ndarray) -> np.ndarray:
+    """SU[x] = max(LCS[x], LCS[x+1]) + 1: length of the shortest unique
+    suffix whose singleton interval is {x} (pad LCS[n] = 0)."""
+    a = np.asarray(LCS, dtype=np.int64)
+    nxt = np.concatenate([a[1:], [0]])
+    su = np.maximum(a, nxt) + 1
+    if np.any(su >= _NO_CAND):
+        raise ValueError("SU table requires k <= 254")
+    return su.astype(np.uint8)
+
+
+def rank1(tab, i):
+    """Batched rank over a single-bitvector rank24 table."""
+    e = jnp.take(tab, i >> 3)
+    mask = (jnp.uint32(1) << (i & 7).astype(jnp.uint32)) - jnp.uint32(1)
+    return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
+
+
+def make_replica_locate(index, dsbwt=None, ends_dev=None):
+    """(B, L) codes (np/jnp uint8, pad 255) -> ((B, W) uid, (B, W) off).
+
+    Self-contained: derives its device tables from the loaded index.
+    """
+    k = index.sbwt.get_k()
+    n_nodes = index.sbwt.number_of_subsets()
+    tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
+    n8 = tab.shape[0] // 4
+    C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
+    ck = jnp.asarray(build_contract_k_table(index.LCS, k))
+    jl_np, jr_np = build_lcs_jump_tables(index.LCS)
+    jl, jr = jnp.asarray(jl_np), jnp.asarray(jr_np)
+    su = jnp.asarray(build_su_table(index.LCS))
+    fmin_tab = jnp.asarray(build_rank24_tables(np.asarray(index.fmin, np.uint8)[None, :]))
+    ustart_tab = jnp.asarray(build_rank24_tables(np.asarray(index.Ustart, np.uint8)[None, :]))
+    ustart_bits = jnp.asarray(np.asarray(index.Ustart, np.uint8))
+    goffs = jnp.asarray(index.global_offsets.astype(np.int64), dtype=jnp.int32)
+    ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
+
+    def upd(c, lo, hi):
+        return update_interval24(tab, n8, C, c, lo, hi)
+
+    # -------- exact chain scan with drop-based recovery ------------------
+    def chain(codes):
+        B, L = codes.shape
+
+        def step(carry, c):
+            lo, hi, ks, up, ux, j = carry
+            invalid = c > 3
+            nlo, nhi = upd(c, lo, hi)
+
+            # recovery: advance ks + widen until the extension succeeds or
+            # the suffix empties (oracle common.hh:116-127). Pads (invalid
+            # chars) reset immediately instead of looping.
+            def cond(st):
+                nlo, nhi, lo, hi, ks, need = st
+                return jnp.any(need)
+
+            def body(st):
+                nlo, nhi, lo, hi, ks, need = st
+                ks2 = jnp.where(need, ks + 1, ks)
+                emptied = need & (ks2 > j)
+                widen_len = jnp.where(need, j - ks2, jnp.int32(k + 1))
+                wlo, whi = widen_interval(jl, jr, lo, hi, widen_len, n_nodes)
+                lo2 = jnp.where(need & ~emptied, wlo, lo)
+                hi2 = jnp.where(need & ~emptied, whi, hi)
+                rlo, rhi = upd(c, lo2, hi2)
+                nlo2 = jnp.where(need, rlo, nlo)
+                nhi2 = jnp.where(need, rhi, nhi)
+                # emptied lanes: interval of the empty string, c unconsumed
+                nlo2 = jnp.where(emptied, 0, nlo2)
+                nhi2 = jnp.where(emptied, n_nodes - 1, nhi2)
+                need2 = need & ~emptied & (rlo < 0)
+                return nlo2, nhi2, lo2, hi2, ks2, need2
+
+            failed = nlo < 0
+            ks = jnp.where(invalid, j + 1, ks)
+            need0 = failed & ~invalid
+            nlo, nhi, _, _, ks, _ = lax.while_loop(
+                cond, body, (nlo, nhi, lo, hi, ks, need0)
+            )
+            nlo = jnp.where(invalid, 0, nlo)
+            nhi = jnp.where(invalid, n_nodes - 1, nhi)
+
+            # candidate: singleton suffix => shortest unique suffix ends here
+            single = (nlo == nhi) & (ks <= j) & ~invalid
+            cand_len = jnp.where(
+                single, jnp.take(su, jnp.where(single, nlo, 0)).astype(jnp.int32), _NO_CAND
+            )
+            cand_colex = jnp.where(single, nlo, 0)
+
+            # rightmost Ustart singleton so far (carry over the whole read)
+            u_here = single & (jnp.take(ustart_bits, jnp.where(single, nlo, 0)) == 1)
+            up2 = jnp.where(u_here, j, up)
+            ux2 = jnp.where(u_here, nlo, ux)
+
+            close = (j - ks + 1 == k) & ~invalid
+            emit = jnp.where(close, nlo, -1)
+
+            # window slide on close (oracle line 124-125): ks++ and contract
+            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
+            lo2 = jnp.where(close, pair[:, 0], nlo)
+            hi2 = jnp.where(close, pair[:, 1], nhi)
+            ks2 = jnp.where(close, ks + 1, ks)
+            return (lo2, hi2, ks2, up2, ux2, j + 1), (emit, cand_len, cand_colex, up2, ux2)
+
+        init = (
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, n_nodes - 1, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, -1, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.int32(0),
+        )
+        _, outs = lax.scan(step, init, codes.astype(jnp.int32).T)
+        return tuple(o.T for o in outs)  # each (B, L)
+
+    # ---------------------------- full locate ----------------------------
+    def run(codes):
+        B, L = codes.shape
+        W = L - k + 1
+        emit, cl, cc, up, ux = chain(codes)
+        ranks = emit[:, k - 1 :]  # (B, W)
+        found = ranks >= 0
+
+        # per-window finimizer: (len, colex, end)-min over in-window
+        # candidates whose start is inside the window (len <= r + 1)
+        fin_len = jnp.full((B, W), _NO_CAND, jnp.int32)
+        fin_colex = jnp.zeros((B, W), jnp.int32)
+        fin_r = jnp.zeros((B, W), jnp.int32)
+        for r in range(k):
+            cl_r = lax.dynamic_slice_in_dim(cl, r, W, axis=1)
+            cc_r = lax.dynamic_slice_in_dim(cc, r, W, axis=1)
+            ok = cl_r <= r + 1  # excludes _NO_CAND (255 > k)
+            better = ok & ((cl_r < fin_len) | ((cl_r == fin_len) & (cc_r < fin_colex)))
+            fin_len = jnp.where(better, cl_r, fin_len)
+            fin_colex = jnp.where(better, cc_r, fin_colex)
+            fin_r = jnp.where(better, r, fin_r)
+
+        # rightmost Ustart singleton at the window close, used iff it sits
+        # at/after the finimizer end (FinimizerIndex.hh:158-164)
+        up_w = up[:, k - 1 :]
+        ux_w = ux[:, k - 1 :]
+        ws = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        use_branch = found & (up_w >= ws + fin_r)
+
+        # branch dictionary (common.hh:61-67)
+        safe_ux = jnp.where(use_branch, ux_w, 0)
+        urank = rank1(ustart_tab, safe_ux)
+        u_gstart = jnp.where(urank > 0, jnp.take(ends, jnp.maximum(urank - 1, 0)), 0)
+        g_end_branch = u_gstart + (k - 1) + ((ws + k - 1) - up_w)
+
+        # finimizer dictionary (common.hh:69-72)
+        safe_fx = jnp.where(found, fin_colex, 0)
+        frank = rank1(fmin_tab, safe_fx)
+        g_end_fin = jnp.take(goffs, jnp.clip(frank, 0, goffs.shape[0] - 1)) + (
+            (k - 1) - fin_r
+        )
+
+        g_end = jnp.where(use_branch, g_end_branch, g_end_fin)
+        g_start = g_end - k + 1
+        uid = jnp.searchsorted(ends, g_start, side="right").astype(jnp.int32)
+        u_start2 = jnp.where(uid > 0, jnp.take(ends, jnp.maximum(uid - 1, 0)), 0)
+        off = g_start - u_start2
+        neg = jnp.int32(-1)
+        return jnp.where(found, uid, neg), jnp.where(found, off, neg)
+
+    jitted = jax.jit(run)
+
+    def locate(codes):
+        return jitted(jnp.asarray(codes))
+
+    return locate

@@ -104,7 +104,7 @@ def test_position_table_exact():
     np.testing.assert_array_equal(got, expected)
 
 
-@pytest.fixture(scope="module", params=["dense", "stream", "minimizer"])
+@pytest.fixture(scope="module", params=["dense", "stream", "minimizer", "replica"])
 def fixture_engine(request):
     spss = ["GTAAGTCT", "AGGAAA", "ACAGG", "GTAGG", "AGGTA"]
     index = build_index(spss, 4)
@@ -125,7 +125,7 @@ def test_dense_engine_padded_batch(fixture_engine):
         assert f.local_offsets == index.search(read).local_offsets
 
 
-@pytest.mark.parametrize("mode", ["dense", "stream", "minimizer"])
+@pytest.mark.parametrize("mode", ["dense", "stream", "minimizer", "replica"])
 def test_dense_engine_random_dspss(mode):
     rng = np.random.default_rng(42)
     k = 6
