@@ -184,8 +184,6 @@ class DeviceQueryEngine:
                 make_minimizer_locate,
             )
 
-            if self.k > 32:
-                raise ValueError("minimizer engine currently supports k <= 32")
             self._dmi = DeviceMinimizerIndex(MinimizerIndex.from_finimizer_index(index))
             dmi = self._dmi
             mini_cache = {}

@@ -32,12 +32,12 @@ from jax import lax
 from finito_tpu.index.minimizer import MinimizerIndex, _LEN_SAT
 
 
-def pack_text_words(concat: np.ndarray) -> np.ndarray:
+def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
     """2-bit pack host codes into uint32 words, base j at bits [2j, 2j+2)
-    of the word stream (sdsl/PackedStrings bit order); +2 pad words so a
-    3-word window load at the last base never reads out of bounds."""
+    of the word stream (sdsl/PackedStrings bit order); pad_words extra
+    zero words so rolling window loads at the last base stay in bounds."""
     n = concat.size
-    n_words = (2 * n + 31) // 32 + 2
+    n_words = (2 * n + 31) // 32 + pad_words
     bits = np.zeros(n_words * 16, dtype=np.uint32)  # 16 bases per word
     bits[:n] = concat
     by = bits.reshape(n_words, 16)
@@ -58,35 +58,44 @@ class DeviceMinimizerIndex:
         self.occ_uid = jnp.asarray(mindex.occ_uid)
         self.occ_off = jnp.asarray(mindex.occ_off)
         self.ends = jnp.asarray(mindex.ends, dtype=jnp.int32)
-        self.text = jnp.asarray(pack_text_words(mindex.concat))
+        self.text = jnp.asarray(pack_text_words(mindex.concat, _n_words(mindex.k) + 1))
 
 
-def _kmer_masks(k: int) -> Tuple[np.uint32, np.uint32]:
-    """Bit masks of the valid 2k bits in the (lo, hi) uint32 pair."""
-    if k >= 32:
-        return np.uint32(0xFFFFFFFF), np.uint32(0xFFFFFFFF)
-    if k >= 16:
-        return np.uint32(0xFFFFFFFF), np.uint32((1 << (2 * k - 32)) - 1)
-    return np.uint32((1 << (2 * k)) - 1), np.uint32(0)
+def _n_words(k: int) -> int:
+    return (2 * k + 31) // 32
 
 
-def _load_text_kmer(text, g):
-    """Gather the 64 text bits starting at base g: three funnel-shifted
-    uint32 words -> (lo, hi)."""
-    bit = (g.astype(jnp.uint32) << jnp.uint32(1))
+def _word_masks(k: int) -> list:
+    """Per-word masks of the valid 2k bits across ceil(2k/32) words."""
+    nw = _n_words(k)
+    masks = [np.uint32(0xFFFFFFFF)] * nw
+    rem = 2 * k - 32 * (nw - 1)
+    if rem < 32:
+        masks[-1] = np.uint32((1 << rem) - 1)
+    return masks
+
+
+def _match_text_kmer(text, g, q_words, masks, k):
+    """Compare the k-mer at text base position g with the packed query
+    window q_words (list of (B, W) uint32). Rolling funnel-shifted word
+    loads: ceil(2k/32) + 1 gathers total, any k."""
+    bit = g.astype(jnp.uint32) << jnp.uint32(1)
     w0 = (bit >> jnp.uint32(5)).astype(jnp.int32)
     sh = bit & jnp.uint32(31)
-    t0 = jnp.take(text, w0)
-    t1 = jnp.take(text, w0 + 1)
-    t2 = jnp.take(text, w0 + 2)
     nz = sh > 0
     inv = jnp.where(nz, jnp.uint32(32) - sh, jnp.uint32(0))
-    lo = (t0 >> sh) | jnp.where(nz, t1 << inv, jnp.uint32(0))
-    hi = (t1 >> sh) | jnp.where(nz, t2 << inv, jnp.uint32(0))
-    return lo, hi
+    prev = jnp.take(text, w0)
+    match = None
+    for w, mask in enumerate(masks):
+        cur = jnp.take(text, w0 + w + 1)
+        assembled = (prev >> sh) | jnp.where(nz, cur << inv, jnp.uint32(0))
+        ok_w = ((assembled ^ q_words[w]) & mask) == 0
+        match = ok_w if match is None else (match & ok_w)
+        prev = cur
+    return match
 
 
-def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, qlo, qhi, mask_lo, mask_hi, k):
+def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
     """Verify occurrence `idx` against the query window whose minimizer
     offset is `o`. Returns (match, uid, off)."""
     g_m = jnp.take(dmi.occ_gstart, idx)
@@ -96,8 +105,7 @@ def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, qlo, qhi, mask_lo, mas
     off_w = off_m - o
     uend = jnp.take(dmi.ends, uid)
     ok = (off_w >= 0) & (g_w + k <= uend)
-    lo, hi = _load_text_kmer(dmi.text, jnp.maximum(g_w, 0))
-    match = ok & (((lo ^ qlo) & mask_lo) == 0) & (((hi ^ qhi) & mask_hi) == 0)
+    match = ok & _match_text_kmer(dmi.text, jnp.maximum(g_w, 0), q_words, masks, k)
     return match, uid, off_w
 
 
@@ -110,7 +118,8 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
     """
     k, m = dmi.k, dmi.m
     R = k - m + 1
-    mask_lo, mask_hi = _kmer_masks(k)
+    masks = _word_masks(k)
+    NW = len(masks)
     n_occ = dmi.n_occ
 
     def run(codes):
@@ -144,15 +153,15 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
             best_o = jnp.where(upd, r, best_o)
             bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
 
-        # --- packed query windows (text bit order: base i at bits 2i)
-        qlo = jnp.zeros((B, W), jnp.uint32)
-        qhi = jnp.zeros((B, W), jnp.uint32)
-        for i in range(min(k, 32)):
-            ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
-            if i < 16:
-                qlo = qlo | (ci << jnp.uint32(2 * i))
-            else:
-                qhi = qhi | (ci << jnp.uint32(2 * (i - 16)))
+        # --- packed query windows (text bit order: base i at bits 2i),
+        #     ceil(2k/32) words per window, any k
+        q_words = []
+        for w in range(NW):
+            qw = jnp.zeros((B, W), jnp.uint32)
+            for i in range(16 * w, min(16 * (w + 1), k)):
+                ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
+                qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
+            q_words.append(qw)
 
         # --- bucket descriptor (1 gather)
         d = jnp.take(dmi.desc, jnp.where(bad, 0, best_v).astype(jnp.int32))
@@ -160,12 +169,10 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         ln = (d & jnp.uint32(_LEN_SAT)).astype(jnp.int32)
         ln = jnp.where(bad, 0, ln)
 
-        # --- fast path: single-occurrence buckets (4 + 3 gathers)
+        # --- fast path: single-occurrence buckets (4 + NW+1 gathers)
         fast = ln == 1
         idx = jnp.where(fast, start, 0)
-        match, uid_f, off_f = _check_candidate(
-            dmi, idx, best_o, qlo, qhi, mask_lo, mask_hi, k
-        )
+        match, uid_f, off_f = _check_candidate(dmi, idx, best_o, q_words, masks, k)
         found_f = fast & match
         neg = jnp.int32(-1)
         uid = jnp.where(found_f, uid_f, neg)
@@ -180,8 +187,7 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         s_start = jnp.take(start.reshape(-1), safe)
         s_v = jnp.take(best_v.reshape(-1), safe)
         s_o = jnp.take(best_o.reshape(-1), safe)
-        s_qlo = jnp.take(qlo.reshape(-1), safe)
-        s_qhi = jnp.take(qhi.reshape(-1), safe)
+        s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 
         def cond(st):
             i, uid, off, done = st
@@ -192,9 +198,7 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
             in_range = i < n_occ
             ci = jnp.where(in_range, i, 0)
             key_ok = in_range & (jnp.take(dmi.occ_key, ci) == s_v)
-            match, uid_c, off_c = _check_candidate(
-                dmi, ci, s_o, s_qlo, s_qhi, mask_lo, mask_hi, k
-            )
+            match, uid_c, off_c = _check_candidate(dmi, ci, s_o, s_qw, masks, k)
             hit = ~done & key_ok & match
             uid = jnp.where(hit, uid_c, uid)
             off = jnp.where(hit, off_c, off)

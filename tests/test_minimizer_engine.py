@@ -168,3 +168,24 @@ def test_minimizer_engine_padded_and_invalid():
     out = engine.process_reads(reads)
     for read, (f, _r) in zip(reads, out):
         assert f.local_offsets == index.search(read).local_offsets, read
+
+
+@pytest.mark.parametrize("k", [33, 63])
+def test_minimizer_engine_large_k(k):
+    """k > 32 uses the multi-word rolling text verify."""
+    rng = np.random.default_rng(200 + k)
+    unitigs = gen_dspss(rng, 4, k + 5, k + 60, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    queries = []
+    for u in unitigs:
+        queries.append(u.encode())
+        # single mutation inside a copy
+        s = list(u)
+        s[len(s) // 2] = "ACGT"[(("ACGT".index(s[len(s) // 2])) + 1) % 4]
+        queries.append("".join(s).encode())
+    queries.append("".join(rng.choice(list("ACGT"), k + 10)).encode())
+    for q in queries:
+        f, _ = engine.search_fwd_rc(q)
+        want = index.search(q)
+        assert f.local_offsets == want.local_offsets, (k, q[:20])
