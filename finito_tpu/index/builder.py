@@ -43,9 +43,18 @@ def drop_first_char(new_len: int, I: Tuple[int, int], LCS: np.ndarray, n_nodes: 
 
 
 class FinimizerIndexBuilder:
-    """Builds all finimizer-index components from an SBWT + LCS + unitigs."""
+    """Builds all finimizer-index components from an SBWT + LCS + unitigs.
 
-    def __init__(self, sbwt: PlainMatrixSBWT, LCS: np.ndarray, unitigs: SeqDB):
+    Two construction paths producing identical output (cross-tested):
+      * the vectorized fast path (default) -- candidates in closed form
+        over window colex ranks, sliding window minimum, and one
+        scatter-max pass replacing the reference's sequential
+        cross-unitig overwrite rule;
+      * oracle=True -- the per-base streaming scan replicating the
+        reference's add_sequence step by step (the arbiter in tests).
+    """
+
+    def __init__(self, sbwt: PlainMatrixSBWT, LCS: np.ndarray, unitigs: SeqDB, oracle: bool = False):
         from finito_tpu.index.index import FinimizerIndex
 
         self.sbwt = sbwt
@@ -62,11 +71,16 @@ class FinimizerIndexBuilder:
         packed, ustart, _perm = permute_unitigs(sbwt, unitigs)
 
         finimizers: Set[Tuple[int, int, int]] = set()
-        total_len = 0
-        for i in range(packed.number_of_strings()):
-            codes = packed.get(i)
-            finimizers |= self.add_sequence(codes, fmin_bv, fmin_found, global_offsets, total_len)
-            total_len += codes.size
+        if oracle:
+            total_len = 0
+            for i in range(packed.number_of_strings()):
+                codes = packed.get(i)
+                finimizers |= self.add_sequence(
+                    codes, fmin_bv, fmin_found, global_offsets, total_len
+                )
+                total_len += codes.size
+        else:
+            finimizers = self._build_fast(packed, fmin_bv, global_offsets)
 
         max_off = int(global_offsets.max()) if n_nodes else 0
         width = bit_width_for_max(max_off)
@@ -84,6 +98,127 @@ class FinimizerIndexBuilder:
         index.Ustart = ustart
         index.rebuild_rank_supports()
         self._index = index
+
+    def _build_fast(self, packed: PackedStrings, fmin_bv: np.ndarray, global_offsets: np.ndarray):
+        """Vectorized equivalent of looping add_sequence over all unitigs.
+
+        Rests on three exact reductions of the reference's streaming scan
+        (FinimizerIndex.hh:321-389), shared with the replica query engine:
+
+        1. During construction the scanned text IS the indexed text, so
+           interval extension never fails and every window position
+           j >= k-1 has a singleton interval = that window's colex rank.
+        2. Shortest-unique candidates are closed-form: a singleton {x}
+           yields (len = SU[x] = max(LCS[x], LCS[x+1]) + 1, colex = x).
+           Candidates the reference's greedy interval would skip are
+           strictly dominated inside every window, so the per-window
+           (freq, len, colex, end) minimum is unchanged.
+        3. The sequential cross-unitig overwrite rule ("mark; keep the
+           occurrence with the larger local end; on equal never replace;
+           local end 0 never locks", FinimizerIndex.hh:370-378) is
+           order-independent once encoded as a max over the key
+             l > 0:  (l << 33) | (2^33-1 - order)
+             l == 0:  order
+           so one scatter-max reproduces the exact sequential outcome.
+        """
+        sbwt = self.sbwt
+        k = sbwt.get_k()
+        n_nodes = sbwt.number_of_subsets()
+        concat = packed.concat
+        ends = np.asarray(packed.ends, dtype=np.int64)
+        starts = np.concatenate([[0], ends[:-1]])
+
+        su = np.maximum(self.LCS, np.concatenate([self.LCS[1:], [0]])) + 1
+
+        # --- per-position candidates over the whole concatenation
+        BIG = 1 << 30
+        cand_len = np.full(concat.size, BIG, dtype=np.int64)
+        cand_colex = np.zeros(concat.size, dtype=np.int64)
+
+        # positions with local offset >= k-1: rank of the k-window there
+        n_pos = concat.size - k + 1 if concat.size >= k else 0
+        if n_pos > 0:
+            pos = np.arange(n_pos, dtype=np.int64)
+            uid = np.searchsorted(ends, pos, side="right")
+            valid = pos + k <= ends[uid]
+            vpos = pos[valid]
+            windows = np.lib.stride_tricks.sliding_window_view(concat, k)[vpos]
+            ranks = np.empty(vpos.size, dtype=np.int64)
+            CH = 1 << 20
+            for s in range(0, vpos.size, CH):
+                ranks[s : s + CH] = sbwt.search_batch(windows[s : s + CH])
+            if np.any(ranks < 0):
+                raise AssertionError("build: indexed window not found in SBWT")
+            j_end = vpos + k - 1
+            cand_len[j_end] = su[ranks]
+            cand_colex[j_end] = ranks
+
+        # positions with local offset < k-1: batched per-unitig prefix scan
+        n_u = ends.size
+        lo = np.zeros(n_u, dtype=np.int64)
+        hi = np.full(n_u, n_nodes - 1, dtype=np.int64)
+        lens = ends - starts
+        for j in range(min(k - 1, int(lens.max()) if n_u else 0)):
+            active = lens > j
+            c = np.where(active, concat[np.minimum(starts + j, concat.size - 1)], 255)
+            lo, hi = sbwt.update_interval_batch(c, lo, hi)
+            if np.any(active & (lo < 0)):
+                raise AssertionError("build: prefix extension failed (input not indexed?)")
+            single = active & (lo == hi)
+            s_ok = single & (su[np.where(single, lo, 0)] <= j + 1)
+            p = starts[s_ok] + j
+            cand_len[p] = su[lo[s_ok]]
+            cand_colex[p] = lo[s_ok]
+
+        # --- per-window (len, colex, end)-minimum over valid candidates
+        if n_pos > 0:
+            pos = np.arange(n_pos, dtype=np.int64)
+            uid = np.searchsorted(ends, pos, side="right")
+            wvalid = pos + k <= ends[uid]
+            ws = pos[wvalid]  # global window starts
+            fin_len = np.full(ws.size, BIG, dtype=np.int64)
+            fin_colex = np.zeros(ws.size, dtype=np.int64)
+            fin_r = np.zeros(ws.size, dtype=np.int64)
+            for r in range(k):
+                cl = cand_len[ws + r]
+                cc = cand_colex[ws + r]
+                ok = cl <= r + 1
+                better = ok & ((cl < fin_len) | ((cl == fin_len) & (cc < fin_colex)))
+                fin_len[better] = cl[better]
+                fin_colex[better] = cc[better]
+                fin_r[better] = r
+        else:
+            ws = np.zeros(0, dtype=np.int64)
+            fin_len = fin_colex = fin_r = np.zeros(0, dtype=np.int64)
+
+        # windows with no candidate: the reference falls back to the empty-
+        # deque sentinel (n_nodes, k+1, kmer+1, kmer+k) -- cannot happen for
+        # a valid t=1 DSPSS (the full k-mer is always a unique candidate)
+        none_mask = fin_len >= BIG
+        w_uid = np.searchsorted(ends, ws, side="right")
+        win_idx = ws - starts[w_uid]  # per-unitig window counter ("kmer")
+        fin_freq = np.where(none_mask, n_nodes, 1)
+        fin_len = np.where(none_mask, k + 1, fin_len)
+        fin_colex = np.where(none_mask, win_idx + 1, fin_colex)
+        local_end = np.where(none_mask, win_idx + k, ws - starts[w_uid] + fin_r)
+        g_end = np.where(none_mask, starts[w_uid] + local_end, ws + fin_r)
+
+        # --- scatter-max replacement of the sequential overwrite rule
+        order = np.arange(ws.size, dtype=np.int64)  # global scan order
+        M33 = (1 << 33) - 1
+        if np.any(local_end >= (1 << 30)) or ws.size >= M33:
+            raise ValueError("build: input too large for the scatter-max key encoding")
+        key = np.where(local_end > 0, (local_end << 33) | (M33 - order), order)
+        best = np.full(n_nodes, -1, dtype=np.int64)
+        np.maximum.at(best, fin_colex, key)
+        fmin_bv[np.unique(fin_colex)] = 1
+        winner = key == best[fin_colex]
+        # several windows can share (colex, local_end, order)? order is
+        # unique, so at most one winner per colex.
+        global_offsets[fin_colex[winner]] = g_end[winner].astype(np.uint64)
+
+        trip = np.stack([fin_len, fin_freq, fin_colex], axis=1)
+        return set(map(tuple, np.unique(trip, axis=0).tolist()))
 
     def add_sequence(
         self,

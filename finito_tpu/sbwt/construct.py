@@ -45,12 +45,39 @@ def _row_bytes_view(mat: np.ndarray) -> np.ndarray:
     return mat.view(np.dtype(f"S{mat.shape[1]}")).reshape(mat.shape[0])
 
 
+def _colex_key_words(mat: np.ndarray) -> list:
+    """Pack each row into ceil(3k/21)-ish uint64 key words such that
+    lexicographic compare of the word tuple == colexicographic compare of
+    the rows (alphabet 0..4, 3 bits/char, last char most significant).
+    Returns the key words most-significant first (np.lexsort order is
+    least-significant first, so callers reverse)."""
+    n, k = mat.shape
+    chars_per_word = 21  # 21 * 3 = 63 bits
+    words = []
+    # colex = lex on reversed rows; walk original columns right-to-left,
+    # column by column (a whole-matrix reversed astype is a slow strided
+    # copy in numpy -- per-column casts are ~20x faster)
+    cols = list(range(k - 1, -1, -1))
+    for w in range(0, k, chars_per_word):
+        key = np.zeros(n, dtype=np.uint64)
+        for col in cols[w : w + chars_per_word]:
+            key = (key << np.uint64(3)) | mat[:, col].astype(np.uint64)
+        words.append(key)
+    return words  # most significant word first
+
+
 def _colex_sort_rows(mat: np.ndarray) -> np.ndarray:
-    """Indices sorting rows colexicographically (compare last column first)."""
+    """Indices sorting rows colexicographically (compare last column first).
+
+    Packs rows into a few uint64 key words instead of lexsorting k uint8
+    columns -- ~10x faster for k ~ 31 on large node sets."""
     if mat.shape[0] == 0:
         return np.zeros(0, dtype=np.int64)
-    # np.lexsort: last key is primary => pass columns first..last.
-    return np.lexsort(tuple(mat[:, i] for i in range(mat.shape[1])))
+    words = _colex_key_words(mat)
+    if len(words) == 1:
+        return np.argsort(words[0], kind="stable")
+    # np.lexsort: the LAST key is primary; words[0] is most significant.
+    return np.lexsort(tuple(words[::-1]))
 
 
 def _dedupe_sorted_rows(mat: np.ndarray) -> np.ndarray:

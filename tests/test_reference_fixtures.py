@@ -180,3 +180,31 @@ def test_serialize_load_roundtrip(tmp_path, example_index):
     res = loaded.search(PAPER_EXAMPLE_QUERIES[0])
     assert res.local_offsets == [(0, 2), (-1, -1), (0, 0)]
     assert loaded.size_in_bytes() > 0
+
+
+def test_fast_builder_equals_oracle_builder():
+    """The vectorized builder must reproduce the per-base streaming oracle
+    on every component, including the cross-unitig overwrite rule."""
+    import numpy as np
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(31337)
+    for k in (4, 6, 9):
+        unitigs = [u.encode() for u in gen_dspss(rng, 9, max(6, k + 1), 45, k)]
+        sbwt = build_plain_matrix_sbwt(unitigs, k)
+        lcs = lcs_array(sbwt)
+        b_fast = FinimizerIndexBuilder(sbwt, lcs, SeqDB.from_sequences(unitigs))
+        sbwt2 = build_plain_matrix_sbwt(unitigs, k)
+        b_orc = FinimizerIndexBuilder(sbwt2, lcs_array(sbwt2), SeqDB.from_sequences(unitigs), oracle=True)
+        a, b = b_fast.get_index(), b_orc.get_index()
+        np.testing.assert_array_equal(a.fmin, b.fmin)
+        np.testing.assert_array_equal(a.global_offsets, b.global_offsets)
+        np.testing.assert_array_equal(a.Ustart, b.Ustart)
+        np.testing.assert_array_equal(a.unitigs.concat, b.unitigs.concat)
+        np.testing.assert_array_equal(a.unitigs.ends, b.unitigs.ends)
+        assert a.offsets_width == b.offsets_width
+        assert b_fast.finimizer_stats == b_orc.finimizer_stats, k
