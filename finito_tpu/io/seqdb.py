@@ -54,9 +54,27 @@ class SeqDB:
 
     @staticmethod
     def from_file(path: str) -> "SeqDB":
+        """Parse a FASTA/FASTQ (+gzip) file straight into the code buffer.
+
+        Uses the native C++ parser+encoder when available (single pass,
+        ~20x the Python reader); transparently falls back to the Python
+        SequenceReader."""
+        import gzip as _gzip
+
+        from finito_tpu.io.fastx import _is_gzipped
+        from finito_tpu.native import parse_fastx_bytes
+
+        opener = _gzip.open if _is_gzipped(path) else open
+        with opener(path, "rb") as f:
+            data = f.read()
+        parsed = parse_fastx_bytes(data)
+        if parsed is not None:
+            codes, ends, headers = parsed
+            return SeqDB(concat=codes, ends=ends, headers=headers)
+
         from finito_tpu.io.fastx import SequenceReader
 
-        headers: List[bytes] = []
+        headers = []
         seqs: List[bytes] = []
         with SequenceReader(path) as r:
             for h, s in r:
