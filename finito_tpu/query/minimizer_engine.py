@@ -46,7 +46,13 @@ def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
 
 
 class DeviceMinimizerIndex:
-    """Device-resident arrays of a MinimizerIndex."""
+    """Device-resident arrays of a MinimizerIndex.
+
+    Row packing: a (n, 4) row gather costs ~1.45x a scalar gather on v5e
+    (360M elements/s vs 130M scalars/s), so the candidate payload
+    (gstart, uid, off, uend) is one row, and for k <= 32 the packed text
+    is stored as OVERLAPPED stride-2 rows of 4 words (2x text memory,
+    2 bits -> 4 bits/base) so any <= 3-word window is one row gather."""
 
     def __init__(self, mindex: MinimizerIndex):
         self.k = mindex.k
@@ -54,11 +60,27 @@ class DeviceMinimizerIndex:
         self.n_occ = int(mindex.occ_key.size)
         self.desc = jnp.asarray(mindex.desc)
         self.occ_key = jnp.asarray(mindex.occ_key)
-        self.occ_gstart = jnp.asarray(mindex.occ_gstart)
-        self.occ_uid = jnp.asarray(mindex.occ_uid)
-        self.occ_off = jnp.asarray(mindex.occ_off)
-        self.ends = jnp.asarray(mindex.ends, dtype=jnp.int32)
-        self.text = jnp.asarray(pack_text_words(mindex.concat, _n_words(mindex.k) + 1))
+        ends32 = np.asarray(mindex.ends, dtype=np.int32)
+        uend = ends32[np.asarray(mindex.occ_uid)] if self.n_occ else np.zeros(0, np.int32)
+        occ_rows = np.stack(
+            [
+                np.asarray(mindex.occ_gstart, np.int32),
+                np.asarray(mindex.occ_uid, np.int32),
+                np.asarray(mindex.occ_off, np.int32),
+                uend,
+            ],
+            axis=1,
+        ) if self.n_occ else np.zeros((0, 4), np.int32)
+        self.occ_rows = jnp.asarray(occ_rows)
+        self.ends = jnp.asarray(ends32)
+        words = pack_text_words(mindex.concat, _n_words(mindex.k) + 3)
+        self.text = jnp.asarray(words)
+        if mindex.k <= 32:
+            n2 = (words.size - 2) // 2
+            rows = np.lib.stride_tricks.sliding_window_view(words, 4)[: 2 * n2 : 2]
+            self.text_rows = jnp.asarray(np.ascontiguousarray(rows))
+        else:
+            self.text_rows = None
 
 
 def _n_words(k: int) -> int:
@@ -95,17 +117,41 @@ def _match_text_kmer(text, g, q_words, masks, k):
     return match
 
 
+def _match_text_kmer_rows(text_rows, g, q_words, masks):
+    """k <= 32 fast form: ONE overlapped-row gather supplies the (up to)
+    three words any 64-bit window can span."""
+    bit = g.astype(jnp.uint32) << jnp.uint32(1)
+    w0 = (bit >> jnp.uint32(5)).astype(jnp.int32)
+    sh = bit & jnp.uint32(31)
+    row = jnp.take(text_rows, w0 >> 1, axis=0)  # (..., 4): words [2r, 2r+4)
+    odd = (w0 & 1) == 1
+    t0 = jnp.where(odd, row[..., 1], row[..., 0])
+    t1 = jnp.where(odd, row[..., 2], row[..., 1])
+    t2 = jnp.where(odd, row[..., 3], row[..., 2])
+    nz = sh > 0
+    inv = jnp.where(nz, jnp.uint32(32) - sh, jnp.uint32(0))
+    lo = (t0 >> sh) | jnp.where(nz, t1 << inv, jnp.uint32(0))
+    match = ((lo ^ q_words[0]) & masks[0]) == 0
+    if len(masks) > 1:
+        hi = (t1 >> sh) | jnp.where(nz, t2 << inv, jnp.uint32(0))
+        match = match & (((hi ^ q_words[1]) & masks[1]) == 0)
+    return match
+
+
 def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
     """Verify occurrence `idx` against the query window whose minimizer
-    offset is `o`. Returns (match, uid, off)."""
-    g_m = jnp.take(dmi.occ_gstart, idx)
-    uid = jnp.take(dmi.occ_uid, idx)
-    off_m = jnp.take(dmi.occ_off, idx)
+    offset is `o`. One (n,4) payload row gather + one text gather (row
+    form for k <= 32). Returns (match, uid, off)."""
+    row = jnp.take(dmi.occ_rows, idx, axis=0)  # (..., 4)
+    g_m, uid, off_m, uend = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
     g_w = g_m - o
     off_w = off_m - o
-    uend = jnp.take(dmi.ends, uid)
     ok = (off_w >= 0) & (g_w + k <= uend)
-    match = ok & _match_text_kmer(dmi.text, jnp.maximum(g_w, 0), q_words, masks, k)
+    g_safe = jnp.maximum(g_w, 0)
+    if dmi.text_rows is not None:
+        match = ok & _match_text_kmer_rows(dmi.text_rows, g_safe, q_words, masks)
+    else:
+        match = ok & _match_text_kmer(dmi.text, g_safe, q_words, masks, k)
     return match, uid, off_w
 
 
