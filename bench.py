@@ -58,6 +58,8 @@ def main() -> int:
     p.add_argument("--read-len", type=int, default=128)
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--trials", type=int, default=3, help="take the fastest trial (tunnel TPU is time-shared)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one timed trial into DIR")
     p.add_argument("--mutate", type=float, default=0.005)
     p.add_argument("--engine", default="minimizer", choices=["minimizer", "stream", "dense"])
     args = p.parse_args()
@@ -145,6 +147,14 @@ def main() -> int:
     csum = jax.jit(
         lambda u, o, s: s + jnp.sum(u, dtype=jnp.int32) + jnp.sum(o, dtype=jnp.int32)
     )
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            s = jnp.int32(0)
+            for _ in range(args.reps):
+                out = pipe(reads_dev)
+                s = csum(out[0], out[1], s)
+            int(np.asarray(s))
+        sys.stderr.write(f"[bench] jax profiler trace written to {args.profile}\n")
     dt = float("inf")
     for _ in range(args.trials):
         t0 = time.perf_counter()

@@ -115,9 +115,18 @@ class MinimizerIndex:
             e = int(e)
             if e - start >= k:
                 seg = hv[start : e - m + 1]
-                # windows s in [start, e-k]: minimizer pos = s + argmin(seg[s-start .. s-start+R-1])
-                win = np.lib.stride_tricks.sliding_window_view(seg, R)
-                j = np.argmin(win, axis=1)  # first occurrence of min = leftmost-lowest
+                # windows s in [start, e-k]: leftmost-lowest over R shifted
+                # views (iterative strict-< min keeps the leftmost; ~R
+                # vectorized passes, vastly faster than argmin on a
+                # strided sliding_window_view at genome scale)
+                n_w = e - k + 1 - start
+                best = seg[:n_w].copy()
+                j = np.zeros(n_w, dtype=np.int64)
+                for r in range(1, R):
+                    cand = seg[r : r + n_w]
+                    upd = cand < best
+                    best[upd] = cand[upd]
+                    j[upd] = r
                 occ_positions.append(np.arange(start, e - k + 1, dtype=np.int64) + j)
             start = e
 

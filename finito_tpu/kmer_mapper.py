@@ -107,7 +107,7 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
         while True:
             key = (K, B, L)
             if key not in cache:
-                cache[key] = jax.jit(make_minimizer_locate(dmi, K))
+                cache[key] = make_minimizer_locate(dmi, K)
             uid, off, n_slow = cache[key](codes)
             if int(n_slow) <= K:
                 return np.asarray(uid), np.asarray(off)

@@ -39,15 +39,17 @@ from finito_tpu.ops.rank24 import update_interval24
 UNKNOWN = -2
 
 
-def make_chain_scan(tab, n8: int, C, contract_k, k: int, n_nodes: int):
-    """Phase A. (B, L) codes -> (B, L) per-position status:
-    rank >= 0 found, -1 definitively absent, -2 unknown (positions < k-1
-    are meaningless and set to -1 by the caller's slice)."""
+def make_chain_scan(n8: int, k: int, n_nodes: int):
+    """Phase A. run(tab, C, contract_k, codes): (B, L) codes -> (B, L)
+    per-position status: rank >= 0 found, -1 definitively absent, -2
+    unknown (positions < k-1 are meaningless and set to -1 by the
+    caller's slice). Index arrays are call ARGUMENTS so jitted callers
+    don't embed them as HLO constants (breaks remote compiles at scale)."""
 
-    def upd(c, lo, hi):
-        return update_interval24(tab, n8, C, c, lo, hi)
+    def step(tab, C, contract_k, carry, c):
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
 
-    def step(carry, c):
         lo, hi, ks, j = carry  # interval of seq[ks..j-1]
         invalid = c > 3
         nlo, nhi = upd(c, lo, hi)
@@ -73,7 +75,7 @@ def make_chain_scan(tab, n8: int, C, contract_k, k: int, n_nodes: int):
         ks3 = jnp.where(failed, j + 1, ks2)
         return (lo3, hi3, ks3, j + 1), emit
 
-    def run(codes):
+    def run(tab, C, contract_k, codes):
         B, L = codes.shape
         init = (
             jnp.zeros(B, jnp.int32),
@@ -81,21 +83,25 @@ def make_chain_scan(tab, n8: int, C, contract_k, k: int, n_nodes: int):
             jnp.zeros(B, jnp.int32),
             jnp.int32(0),
         )
-        _, emitted = lax.scan(step, init, codes.astype(jnp.int32).T)
+        _, emitted = lax.scan(
+            lambda carry, c: step(tab, C, contract_k, carry, c),
+            init,
+            codes.astype(jnp.int32).T,
+        )
         return emitted.T  # (B, L); window ending at j -> start j-k+1
 
     return run
 
 
-def make_window_verifier(tab, n8: int, C, k: int, n_nodes: int):
-    """Phase B. Verify a compacted set of windows by plain extension with
-    early exit. Inputs: flat codes (B*L,), window start flat offsets
-    (K,) int32 (start = lane*L + s), valid mask. Returns (K,) rank/-1."""
+def make_window_verifier(n8: int, k: int, n_nodes: int):
+    """Phase B. run(tab, C, codes_flat, starts, valid): verify a compacted
+    set of windows by plain extension with early exit. starts are flat
+    offsets (start = lane*L + s). Returns (K,) rank/-1."""
 
-    def upd(c, lo, hi):
-        return update_interval24(tab, n8, C, c, lo, hi)
+    def run(tab, C, codes_flat, starts, valid):
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
 
-    def run(codes_flat, starts, valid):
         K = starts.shape[0]
         lo = jnp.zeros(K, jnp.int32)
         hi = jnp.full(K, n_nodes - 1, jnp.int32)
@@ -121,21 +127,21 @@ def make_window_verifier(tab, n8: int, C, k: int, n_nodes: int):
     return run
 
 
-def make_chain_stream_ranks(tab, n8: int, C, contract_k, k: int, n_nodes: int, K: int):
+def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int):
     """Fully device-resident two-phase pipeline (single dispatch).
 
-    Returns a jittable fn: (B, L) codes -> ((B, W) ranks, n_unknown).
+    Returns run(tab, C, contract_k, codes) -> ((B, W) ranks, n_unknown).
     K bounds the number of UNKNOWN windows verified on-device; if
     n_unknown > K the caller MUST re-run with a larger K (unverified
     windows must never be reported). n_unknown also lets callers
     right-size K for steady-state workloads."""
-    chain = make_chain_scan(tab, n8, C, contract_k, k, n_nodes)
-    verify = make_window_verifier(tab, n8, C, k, n_nodes)
+    chain = make_chain_scan(n8, k, n_nodes)
+    verify = make_window_verifier(n8, k, n_nodes)
 
-    def run(codes):
+    def run(tab, C, contract_k, codes):
         B, L = codes.shape
         W = L - k + 1
-        status = chain(codes)[:, k - 1 :]  # (B, W)
+        status = chain(tab, C, contract_k, codes)[:, k - 1 :]  # (B, W)
         mask = (status == UNKNOWN).reshape(-1)
         n_unknown = jnp.sum(mask, dtype=jnp.int32)
         (flat_idx,) = jnp.nonzero(mask, size=K, fill_value=-1)
@@ -143,7 +149,7 @@ def make_chain_stream_ranks(tab, n8: int, C, contract_k, k: int, n_nodes: int, K
         lane = jnp.where(valid, flat_idx, 0) // W
         w = jnp.where(valid, flat_idx, 0) % W
         starts = (lane * L + w).astype(jnp.int32)
-        verified = verify(codes.reshape(-1), starts, valid)
+        verified = verify(tab, C, codes.reshape(-1), starts, valid)
         status_flat = status.reshape(-1)
         # fill index B*W is out of bounds and dropped (negative would wrap!)
         status_flat = status_flat.at[jnp.where(valid, flat_idx, B * W)].set(

@@ -56,7 +56,7 @@ def build_position_table(
     ends64 = np.asarray(ends, dtype=np.int64)
 
     @jax.jit
-    def step(table, kmers, g_end):
+    def step(dsbwt, table, kmers, g_end):
         ranks = search_batch_device(dsbwt, kmers)
         # invalid rows carry rank -1, which .at[] would WRAP to the last
         # entry -- remap to n_nodes so mode="drop" actually drops them
@@ -73,7 +73,7 @@ def build_position_table(
         win = np.lib.stride_tricks.sliding_window_view(concat[s : s + m + k - 1], k).copy()
         win[~valid] = 255  # force absent -> rank -1 -> dropped scatter
         g_end = jnp.asarray((starts + k - 1).astype(np.int32))
-        table = step(table, jnp.asarray(win), g_end)
+        table = step(dsbwt, table, jnp.asarray(win), g_end)
     return table
 
 
@@ -126,8 +126,9 @@ class DeviceQueryEngine:
             self.uid_table, self.off_table = jax.jit(build_locate_tables, static_argnums=2)(
                 self.pos_table, self.ends_dev, self.k
             )
-            self._locate = jax.jit(
-                lambda codes: _locate_dense(self.dsbwt, self.uid_table, self.off_table, codes, self.k)
+            _jld = jax.jit(_locate_dense, static_argnums=(4,))
+            self._locate = lambda codes: _jld(
+                self.dsbwt, self.uid_table, self.off_table, codes, self.k
             )
         elif mode == "stream":
             from finito_tpu.ops.rank24 import (
@@ -153,14 +154,15 @@ class DeviceQueryEngine:
             stream_cache = {}
 
             def make_stream(K):
-                ranks_fn = make_chain_stream_ranks(tab, n8, C, ck, k, n_nodes, K)
+                ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K)
 
-                def f(codes):
-                    ranks, n_unknown = ranks_fn(codes)
+                def f(tab, C, ck, uid_table, off_table, codes):
+                    ranks, n_unknown = ranks_fn(tab, C, ck, codes)
                     uid, off = _ranks_to_locations(uid_table, off_table, ranks)
                     return uid, off, n_unknown > K
 
-                return jax.jit(f)
+                jf = jax.jit(f)
+                return lambda codes: jf(tab, C, ck, uid_table, off_table, codes)
 
             def locate_stream(codes):
                 B, L = codes.shape
@@ -194,7 +196,7 @@ class DeviceQueryEngine:
                 K = max(256, (B * W) // 32)
                 while True:
                     if K not in mini_cache:
-                        mini_cache[K] = jax.jit(make_minimizer_locate(dmi, K))
+                        mini_cache[K] = make_minimizer_locate(dmi, K)
                     uid, off, n_slow = mini_cache[K](codes)
                     if int(n_slow) <= K:
                         return uid, off
@@ -224,7 +226,7 @@ class DeviceQueryEngine:
             from finito_tpu.query.minimizer_engine import make_minimizer_locate
 
             K = max(256, int(batch * W * unknown_frac))
-            jitted = jax.jit(make_minimizer_locate(self._dmi, K))
+            jitted = make_minimizer_locate(self._dmi, K)
 
             def pipe(codes):
                 return jitted(codes)
@@ -234,14 +236,13 @@ class DeviceQueryEngine:
         uid_table, off_table = self.uid_table, self.off_table
         if self.mode == "dense":
             dsbwt = self.dsbwt
-
-            jitted = jax.jit(
-                lambda codes: _locate_dense(dsbwt, uid_table, off_table, codes, k)
+            _jld = jax.jit(
+                lambda d, ut, ot, codes: _locate_dense(d, ut, ot, codes, k)
                 + (jnp.int32(0),)
             )
 
             def pipe(codes):
-                return jitted(codes)
+                return _jld(dsbwt, uid_table, off_table, codes)
 
             pipe.K = batch * W
             return pipe
@@ -249,19 +250,18 @@ class DeviceQueryEngine:
             from finito_tpu.ops.streaming import make_chain_stream_ranks
 
             K = max(1024, int(batch * W * unknown_frac))
-            ranks_fn = make_chain_stream_ranks(
-                self._tab, self._n8, self._C, self._ck, k, self._n_nodes, K
-            )
+            ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K)
 
-            def _pipe(codes):
-                ranks, n_unknown = ranks_fn(codes)
-                uid, off = _ranks_to_locations(uid_table, off_table, ranks)
+            def _pipe(tab, C, ck, ut, ot, codes):
+                ranks, n_unknown = ranks_fn(tab, C, ck, codes)
+                uid, off = _ranks_to_locations(ut, ot, ranks)
                 return uid, off, n_unknown
 
             jitted = jax.jit(_pipe)
+            tab, C, ck = self._tab, self._C, self._ck
 
             def pipe(codes):
-                return jitted(codes)
+                return jitted(tab, C, ck, uid_table, off_table, codes)
 
             pipe.K = K
             return pipe

@@ -45,14 +45,29 @@ def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
     return (by << shifts).sum(axis=1, dtype=np.uint32)
 
 
+@jax.tree_util.register_pytree_node_class
 class DeviceMinimizerIndex:
-    """Device-resident arrays of a MinimizerIndex.
+    """Device-resident arrays of a MinimizerIndex (a pytree, so jitted
+    locate functions take it as an ARGUMENT -- closure-captured arrays
+    would be serialized into the HLO as literal constants, which breaks
+    remote compilation for big indexes).
 
     Row packing: a (n, 4) row gather costs ~1.45x a scalar gather on v5e
     (360M elements/s vs 130M scalars/s), so the candidate payload
     (gstart, uid, off, uend) is one row, and for k <= 32 the packed text
     is stored as OVERLAPPED stride-2 rows of 4 words (2x text memory,
     2 bits -> 4 bits/base) so any <= 3-word window is one row gather."""
+
+    def tree_flatten(self):
+        leaves = (self.desc, self.occ_key, self.occ_rows, self.ends, self.text, self.text_rows)
+        return leaves, (self.k, self.m, self.n_occ)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        obj.desc, obj.occ_key, obj.occ_rows, obj.ends, obj.text, obj.text_rows = leaves
+        obj.k, obj.m, obj.n_occ = aux
+        return obj
 
     def __init__(self, mindex: MinimizerIndex):
         self.k = mindex.k
@@ -156,11 +171,13 @@ def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
 
 
 def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
-    """Jittable (B, L) codes -> ((B, W) uid, (B, W) off, n_slow).
+    """Returns a JITTED locate: (B, L) codes -> ((B, W) uid, off, n_slow).
 
-    K_slow bounds the compacted multi-occurrence windows resolved on
-    device; results are valid only when n_slow <= K_slow (caller re-runs
-    with a larger bound otherwise -- same contract as the stream engine).
+    The index pytree rides as a jit ARGUMENT (constants embedded in the
+    HLO would blow up remote compilation for big indexes). K_slow bounds
+    the compacted multi-occurrence windows resolved on device; results
+    are valid only when n_slow <= K_slow (caller re-runs with a larger
+    bound otherwise -- same contract as the stream engine).
     """
     k, m = dmi.k, dmi.m
     R = k - m + 1
@@ -168,7 +185,7 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
     NW = len(masks)
     n_occ = dmi.n_occ
 
-    def run(codes):
+    def run(dmi, codes):
         B, L = codes.shape
         W = L - k + 1
         c = codes.astype(jnp.uint32)
@@ -261,4 +278,9 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         off = off.reshape(-1).at[jnp.where(valid, flat_idx, BW)].set(off_s, mode="drop")
         return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow
 
-    return run
+    jrun = jax.jit(run)
+
+    def locate(codes):
+        return jrun(dmi, codes)
+
+    return locate

@@ -93,11 +93,17 @@ def make_replica_locate(index, dsbwt=None, ends_dev=None):
     goffs = jnp.asarray(index.global_offsets.astype(np.int64), dtype=jnp.int32)
     ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
 
-    def upd(c, lo, hi):
-        return update_interval24(tab, n8, C, c, lo, hi)
+    # arrays ride as one jit argument pytree (closure constants would be
+    # baked into the HLO, breaking remote compiles for big indexes)
+    params = (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends)
 
     # -------- exact chain scan with drop-based recovery ------------------
-    def chain(codes):
+    def chain(P, codes):
+        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends) = P
+
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
+
         B, L = codes.shape
 
         def step(carry, c):
@@ -172,10 +178,11 @@ def make_replica_locate(index, dsbwt=None, ends_dev=None):
         return tuple(o.T for o in outs)  # each (B, L)
 
     # ---------------------------- full locate ----------------------------
-    def run(codes):
+    def run(P, codes):
+        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends) = P
         B, L = codes.shape
         W = L - k + 1
-        emit, cl, cc, up, ux = chain(codes)
+        emit, cl, cc, up, ux = chain(P, codes)
         ranks = emit[:, k - 1 :]  # (B, W)
         found = ranks >= 0
 
@@ -224,6 +231,6 @@ def make_replica_locate(index, dsbwt=None, ends_dev=None):
     jitted = jax.jit(run)
 
     def locate(codes):
-        return jitted(jnp.asarray(codes))
+        return jitted(params, jnp.asarray(codes))
 
     return locate

@@ -101,3 +101,17 @@ def test_serialize_string_roundtrip():
     sdsl.serialize_string(buf, "plain-matrix")
     buf.seek(0)
     assert sdsl.load_string(buf) == "plain-matrix"
+
+
+def test_lcs_device_equals_host():
+    import numpy as np
+    from finito_tpu.ops.lcs_jax import lcs_array_device
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(8)
+    for k in (4, 7):
+        unitigs = [u.encode() for u in gen_dspss(rng, 8, k + 2, 40, k)]
+        sbwt = build_plain_matrix_sbwt(unitigs, k)
+        np.testing.assert_array_equal(lcs_array_device(sbwt), lcs_array(sbwt))

@@ -128,7 +128,7 @@ def test_minimizer_slow_path_small_m(m):
     mi = MinimizerIndex.build(concat, ends, k, m=m)
     assert int((mi.desc & 7).max()) >= 2, "fixture must exercise buckets >= 2"
     dmi = DeviceMinimizerIndex(mi)
-    locate = jax.jit(make_minimizer_locate(dmi, 4096))
+    locate = make_minimizer_locate(dmi, 4096)
     truth = brute_force_occurrences(permuted, k)
 
     L = 40
