@@ -85,9 +85,11 @@ def main() -> int:
     from finito_tpu.sbwt.lcs import lcs_array
 
     t0 = time.perf_counter()
-    sbwt = build_plain_matrix_sbwt(unitigs, args.k)
+    sbwt, node_keys = build_plain_matrix_sbwt(unitigs, args.k, return_keys=True)
     lcs = lcs_array(sbwt)
-    index = FinimizerIndexBuilder(sbwt, lcs, SeqDB.from_sequences(unitigs)).get_index()
+    index = FinimizerIndexBuilder(
+        sbwt, lcs, SeqDB.from_sequences(unitigs), node_keys=node_keys
+    ).get_index()
     build_s = time.perf_counter() - t0
     sys.stderr.write(
         f"[bench] index built in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "

@@ -54,7 +54,14 @@ class FinimizerIndexBuilder:
         reference's add_sequence step by step (the arbiter in tests).
     """
 
-    def __init__(self, sbwt: PlainMatrixSBWT, LCS: np.ndarray, unitigs: SeqDB, oracle: bool = False):
+    def __init__(
+        self,
+        sbwt: PlainMatrixSBWT,
+        LCS: np.ndarray,
+        unitigs: SeqDB,
+        oracle: bool = False,
+        node_keys=None,
+    ):
         from finito_tpu.index.index import FinimizerIndex
 
         self.sbwt = sbwt
@@ -80,7 +87,7 @@ class FinimizerIndexBuilder:
                 )
                 total_len += codes.size
         else:
-            finimizers = self._build_fast(packed, fmin_bv, global_offsets)
+            finimizers = self._build_fast(packed, fmin_bv, global_offsets, node_keys)
 
         max_off = int(global_offsets.max()) if n_nodes else 0
         width = bit_width_for_max(max_off)
@@ -99,7 +106,13 @@ class FinimizerIndexBuilder:
         index.rebuild_rank_supports()
         self._index = index
 
-    def _build_fast(self, packed: PackedStrings, fmin_bv: np.ndarray, global_offsets: np.ndarray):
+    def _build_fast(
+        self,
+        packed: PackedStrings,
+        fmin_bv: np.ndarray,
+        global_offsets: np.ndarray,
+        node_keys=None,
+    ):
         """Vectorized equivalent of looping add_sequence over all unitigs.
 
         Rests on three exact reductions of the reference's streaming scan
@@ -135,38 +148,51 @@ class FinimizerIndexBuilder:
         cand_len = np.full(concat.size, BIG, dtype=np.int64)
         cand_colex = np.zeros(concat.size, dtype=np.int64)
 
-        # positions with local offset >= k-1: rank of the k-window there.
-        # Batched search runs on the accelerator when one is available
-        # (hundreds of times the host numpy rate at genome scale).
-        rank_chunk = None
-        try:
-            import jax
-            import jax.numpy as _jnp
-
-            from finito_tpu.ops.bitvec import DeviceSBWT, search_batch_device
-
-            _d = DeviceSBWT.from_host(sbwt)
-            _jsb = jax.jit(search_batch_device)
-
-            def rank_chunk(w):
-                return np.asarray(_jsb(_d, _jnp.asarray(w))).astype(np.int64)
-
-        except Exception:
-            rank_chunk = None
-        if rank_chunk is None:
-            rank_chunk = sbwt.search_batch
-
         n_pos = concat.size - k + 1 if concat.size >= k else 0
         if n_pos > 0:
             pos = np.arange(n_pos, dtype=np.int64)
             uid = np.searchsorted(ends, pos, side="right")
             valid = pos + k <= ends[uid]
             vpos = pos[valid]
-            windows = np.lib.stride_tricks.sliding_window_view(concat, k)[vpos]
-            ranks = np.empty(vpos.size, dtype=np.int64)
-            CH = 1 << 20
-            for s in range(0, vpos.size, CH):
-                ranks[s : s + CH] = rank_chunk(np.ascontiguousarray(windows[s : s + CH]))
+            if node_keys is not None:
+                # colex rank == position of the window's packed key among
+                # the sorted node keys: one key match, no SBWT search and
+                # no device round-trip (the big win at genome scale).
+                from finito_tpu.sbwt import keys as kw
+
+                wkeys = []
+                start_u = 0
+                for e in ends:
+                    e = int(e)
+                    if e - start_u >= k:
+                        wkeys.append(kw.pack_windows(concat[start_u:e], k))
+                    start_u = e
+                wk = kw.concat(wkeys) if wkeys else kw.empty(len(node_keys))
+                ranks = kw.match_into(wk, node_keys)
+            else:
+                # fallback: batched SBWT search (accelerator if available)
+                rank_chunk = None
+                try:
+                    import jax
+                    import jax.numpy as _jnp
+
+                    from finito_tpu.ops.bitvec import DeviceSBWT, search_batch_device
+
+                    _d = DeviceSBWT.from_host(sbwt)
+                    _jsb = jax.jit(search_batch_device)
+
+                    def rank_chunk(w):
+                        return np.asarray(_jsb(_d, _jnp.asarray(w))).astype(np.int64)
+
+                except Exception:
+                    rank_chunk = None
+                if rank_chunk is None:
+                    rank_chunk = sbwt.search_batch
+                windows = np.lib.stride_tricks.sliding_window_view(concat, k)[vpos]
+                ranks = np.empty(vpos.size, dtype=np.int64)
+                CH = 1 << 20
+                for s in range(0, vpos.size, CH):
+                    ranks[s : s + CH] = rank_chunk(np.ascontiguousarray(windows[s : s + CH]))
             if np.any(ranks < 0):
                 raise AssertionError("build: indexed window not found in SBWT")
             j_end = vpos + k - 1
@@ -190,23 +216,33 @@ class FinimizerIndexBuilder:
             cand_len[p] = su[lo[s_ok]]
             cand_colex[p] = lo[s_ok]
 
-        # --- per-window (len, colex, end)-minimum over valid candidates
+        # --- per-window (len, colex, end)-minimum over valid candidates;
+        # the tuple packs into one int64 (len | colex | r) so the k-step
+        # sliding minimum is a single minimum chain
+        if np.any(cand_colex >= (1 << 40)):
+            raise ValueError("build: colex range exceeds the packed-key encoding")
+        BIGKEY = np.int64((k + 3) << 48)
+        safe_len = np.where(cand_len >= BIG, k + 2, cand_len)
+        cand_key = np.where(
+            cand_len >= BIG, BIGKEY, (safe_len << 48) | (cand_colex << 8)
+        )
         if n_pos > 0:
             pos = np.arange(n_pos, dtype=np.int64)
             uid = np.searchsorted(ends, pos, side="right")
             wvalid = pos + k <= ends[uid]
             ws = pos[wvalid]  # global window starts
-            fin_len = np.full(ws.size, BIG, dtype=np.int64)
-            fin_colex = np.zeros(ws.size, dtype=np.int64)
-            fin_r = np.zeros(ws.size, dtype=np.int64)
+            fin_key = np.full(ws.size, BIGKEY, dtype=np.int64)
             for r in range(k):
-                cl = cand_len[ws + r]
-                cc = cand_colex[ws + r]
-                ok = cl <= r + 1
-                better = ok & ((cl < fin_len) | ((cl == fin_len) & (cc < fin_colex)))
-                fin_len[better] = cl[better]
-                fin_colex[better] = cc[better]
-                fin_r[better] = r
+                ck = cand_key[ws + r] | r
+                ck = np.where((ck >> 48) <= r + 1, ck, BIGKEY)
+                np.minimum(fin_key, ck, out=fin_key)
+            fin_len = fin_key >> 48
+            fin_colex = (fin_key >> 8) & ((1 << 40) - 1)
+            fin_r = fin_key & 0xFF
+            none = fin_key >= BIGKEY
+            fin_len[none] = BIG
+            fin_colex[none] = 0
+            fin_r[none] = 0
         else:
             ws = np.zeros(0, dtype=np.int64)
             fin_len = fin_colex = fin_r = np.zeros(0, dtype=np.int64)
@@ -217,7 +253,6 @@ class FinimizerIndexBuilder:
         none_mask = fin_len >= BIG
         w_uid = np.searchsorted(ends, ws, side="right")
         win_idx = ws - starts[w_uid]  # per-unitig window counter ("kmer")
-        fin_freq = np.where(none_mask, n_nodes, 1)
         fin_len = np.where(none_mask, k + 1, fin_len)
         fin_colex = np.where(none_mask, win_idx + 1, fin_colex)
         local_end = np.where(none_mask, win_idx + k, ws - starts[w_uid] + fin_r)
@@ -237,8 +272,17 @@ class FinimizerIndexBuilder:
         # unique, so at most one winner per colex.
         global_offsets[fin_colex[winner]] = g_end[winner].astype(np.uint64)
 
-        trip = np.stack([fin_len, fin_freq, fin_colex], axis=1)
-        return set(map(tuple, np.unique(trip, axis=0).tolist()))
+        # stats set via one int64 unique (freq is 1 except the sentinel)
+        packed = (fin_len << 41) | (fin_colex << 1) | none_mask.astype(np.int64)
+        uniq = np.unique(packed)
+        sent = (uniq & 1) == 1
+        return set(
+            zip(
+                (uniq >> 41).tolist(),
+                np.where(sent, n_nodes, 1).tolist(),
+                ((uniq >> 1) & ((1 << 40) - 1)).tolist(),
+            )
+        )
 
     def add_sequence(
         self,

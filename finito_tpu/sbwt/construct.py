@@ -104,7 +104,81 @@ def enumerate_kmers(seqs: Sequence[bytes], k: int) -> np.ndarray:
     return _dedupe_sorted_rows(kmers)
 
 
-def build_plain_matrix_sbwt(seqs: Sequence[bytes], k: int) -> PlainMatrixSBWT:
+def build_plain_matrix_sbwt(
+    seqs: Sequence[bytes], k: int, return_keys: bool = False
+):
+    """Packed-key construction (the default): all set/sort/match steps run
+    on ceil(3k/64)-word keys (see finito_tpu/sbwt/keys.py) -- the
+    byte-matrix pipeline below (_build_rowmatrix) is kept as the
+    cross-tested reference implementation; at genome scale its numpy
+    string-view set operations dominate (e.g. 205s -> ~20s at 4Mbp).
+
+    With return_keys=True also returns the sorted node key words, letting
+    the index builder resolve window colex ranks by key match instead of
+    per-window SBWT search."""
+    from finito_tpu.sbwt import keys as kw
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    W = kw.n_words(k)
+
+    per_seq = []
+    for s in seqs:
+        codes = encode_seq(s if isinstance(s, bytes) else s.encode())
+        if np.any(codes == 255):
+            raise ValueError("Invalid character in input sequence (only ACGT allowed)")
+        if codes.size >= k:
+            per_seq.append(kw.pack_windows(codes, k))
+    kmers = kw.concat(per_seq) if per_seq else kw.empty(W)
+    order = kw.sort_order(kmers)
+    kmers = kw.dedup_sorted(kw.take(kmers, order))
+    n_kmers = kmers[0].size
+
+    # Sources: k-mers whose (k-1)-prefix matches no (k-1)-suffix.
+    prefixes = kw.mask_low(kmers, k - 1)
+    suffixes = kw.shift_right3(kmers)  # sorted (monotone under >>3)
+    is_source = ~kw.member(prefixes, kw.dedup_sorted(suffixes))
+
+    # Dummies: root $^k plus $-padded prefixes of the source k-mers:
+    # $^(k-j) x[0:j] == (x & low(3j)) << 3(k-j).
+    src = kw.take(kmers, is_source)
+    dummy_parts = [kw.empty(W)]  # root = all-zero key
+    for j in range(1, k):
+        dummy_parts.append(kw.shift_left(kw.mask_low(src, j), k - j))
+    dummy_parts[0] = [np.zeros(1, dtype=np.uint64) for _ in range(W)]
+    dummies = kw.concat(dummy_parts)
+    dummies = kw.dedup_sorted(kw.take(dummies, kw.sort_order(dummies)))
+
+    nodes = kw.concat([kmers, dummies])
+    nodes = kw.take(nodes, kw.sort_order(nodes))
+    n_nodes = nodes[0].size
+
+    # Suffix groups: nodes sharing label[1:] are colex-consecutive.
+    node_suffix = kw.shift_right3(nodes)  # sorted
+    first_of_group = ~kw.eq_adjacent(node_suffix)
+    group_idx = np.flatnonzero(first_of_group)
+    group_suffix = kw.take(node_suffix, group_idx)
+
+    # In-edge of each non-root node y: bit c = y's last char at the first
+    # node of the group whose shared (k-1)-suffix equals y[:-1].
+    y_char_all = kw.top_char(nodes, k)
+    non_root = y_char_all != 0
+    y_prefix = kw.take(kw.mask_low(nodes, k - 1), non_root)
+    pos = kw.match_into(y_prefix, group_suffix)
+    if np.any(pos < 0):
+        raise AssertionError("SBWT construction: missing predecessor group")
+    target_first = group_idx[pos]
+
+    bit_rows = np.zeros((4, n_nodes), dtype=np.uint8)
+    bit_rows[y_char_all[non_root] - 1, target_first] = 1
+
+    sbwt = PlainMatrixSBWT.from_bit_rows(bit_rows, k=k, n_kmers=n_kmers)
+    if return_keys:
+        return sbwt, nodes
+    return sbwt
+
+
+def _build_rowmatrix(seqs: Sequence[bytes], k: int) -> PlainMatrixSBWT:
     if k < 2:
         raise ValueError("k must be >= 2")
     kmers = enumerate_kmers(seqs, k)

@@ -208,3 +208,39 @@ def test_fast_builder_equals_oracle_builder():
         np.testing.assert_array_equal(a.unitigs.ends, b.unitigs.ends)
         assert a.offsets_width == b.offsets_width
         assert b_fast.finimizer_stats == b_orc.finimizer_stats, k
+
+
+def test_packed_key_construction_equals_rowmatrix():
+    """The packed-key SBWT constructor must equal the byte-matrix one."""
+    import numpy as np
+    from finito_tpu.sbwt.construct import _build_rowmatrix, build_plain_matrix_sbwt
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(2024)
+    for k in (4, 7, 22, 31, 43, 63):
+        unitigs = [u.encode() for u in gen_dspss(rng, 6, k + 2, k + 40, k)]
+        a = build_plain_matrix_sbwt(unitigs, k)
+        b = _build_rowmatrix(unitigs, k)
+        assert a.n_nodes == b.n_nodes and a.n_kmers == b.n_kmers, k
+        np.testing.assert_array_equal(a.bit_rows(), b.bit_rows())
+        np.testing.assert_array_equal(a.C, b.C)
+
+
+def test_builder_with_node_keys_equals_without():
+    import numpy as np
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(55)
+    k = 7
+    unitigs = [u.encode() for u in gen_dspss(rng, 8, k + 2, 45, k)]
+    sbwt, keys = build_plain_matrix_sbwt(unitigs, k, return_keys=True)
+    a = FinimizerIndexBuilder(sbwt, lcs_array(sbwt), SeqDB.from_sequences(unitigs), node_keys=keys).get_index()
+    sbwt2 = build_plain_matrix_sbwt(unitigs, k)
+    b = FinimizerIndexBuilder(sbwt2, lcs_array(sbwt2), SeqDB.from_sequences(unitigs)).get_index()
+    np.testing.assert_array_equal(a.fmin, b.fmin)
+    np.testing.assert_array_equal(a.global_offsets, b.global_offsets)
+    np.testing.assert_array_equal(a.unitigs.concat, b.unitigs.concat)
