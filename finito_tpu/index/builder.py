@@ -15,7 +15,6 @@ oracle.
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Set, Tuple
 
 import numpy as np
@@ -305,7 +304,9 @@ class FinimizerIndexBuilder:
         k = sbwt.get_k()
         str_len = int(codes.size)
 
-        all_fmin = deque()
+        from finito_tpu.utils.bounded_deque import BoundedDeque
+
+        all_fmin: BoundedDeque = BoundedDeque(str_len + 1)
         w_fmin = (n_nodes, k + 1, n_nodes, str_len)
         count_all_w_fmin: Set[Tuple[int, int, int]] = set()
 
@@ -328,9 +329,9 @@ class FinimizerIndexBuilder:
                     all_fmin.clear()
                     w_fmin = curr_substr
                 else:
-                    while all_fmin and all_fmin[-1] > curr_substr:
-                        all_fmin.pop()
-                all_fmin.append(curr_substr)
+                    while len(all_fmin) and all_fmin.back() > curr_substr:
+                        all_fmin.pop_back()
+                all_fmin.push_back(curr_substr)
             if end >= k - 1:
                 count_all_w_fmin.add((w_fmin[1], w_fmin[0], w_fmin[2]))
                 colex = w_fmin[2]
@@ -340,8 +341,8 @@ class FinimizerIndexBuilder:
                     global_offsets[colex] = unitig_start + w_fmin[3]
                 kmer += 1
                 while w_fmin[3] - w_fmin[1] + 1 < kmer:
-                    all_fmin.popleft()
-                    w_fmin = all_fmin[0] if all_fmin else (n_nodes, k + 1, kmer + 1, kmer + k)
+                    all_fmin.pop_front()
+                    w_fmin = all_fmin.front() if len(all_fmin) else (n_nodes, k + 1, kmer + 1, kmer + k)
         return count_all_w_fmin
 
     def get_index(self):

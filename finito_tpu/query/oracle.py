@@ -22,7 +22,6 @@ we return None and the caller produces an empty QueryResult.
 from __future__ import annotations
 
 import sys
-from collections import deque
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -46,7 +45,9 @@ def rarest_fmin_streaming_search(
     k = sbwt.get_k()
     str_len = int(codes.size)
 
-    all_fmin = deque()
+    from finito_tpu.utils.bounded_deque import BoundedDeque
+
+    all_fmin: BoundedDeque = BoundedDeque(str_len + 1)
     sentinel = (n_nodes, k + 1, n_nodes, str_len + 1)
     w_fmin = sentinel
     colex_ranks: List[Optional[int]] = [None] * str_len
@@ -104,9 +105,9 @@ def rarest_fmin_streaming_search(
                 all_fmin.clear()
                 w_fmin = curr_substr
             else:
-                while all_fmin and all_fmin[-1] > curr_substr:
-                    all_fmin.pop()
-            all_fmin.append(curr_substr)
+                while len(all_fmin) and all_fmin.back() > curr_substr:
+                    all_fmin.pop_back()
+            all_fmin.push_back(curr_substr)
 
         # Rightmost Ustart singleton seen so far.
         if I_kmer[0] == I_kmer[1] and Ustart[I_kmer[0]] == 1:
@@ -115,8 +116,8 @@ def rarest_fmin_streaming_search(
         # Window closes: record this k-mer's colex + finimizer.
         if end - kmer_start + 1 == k:
             while w_fmin[3] - w_fmin[1] + 1 < kmer_start:
-                all_fmin.popleft()
-                w_fmin = all_fmin[0] if all_fmin else sentinel
+                all_fmin.pop_front()
+                w_fmin = all_fmin.front() if len(all_fmin) else sentinel
             colex_ranks[kmer_start + k - 1] = I_kmer[0]
             finimizers[kmer_start + k - 1] = (w_fmin[3], w_fmin[2])
             if best_Ustart[0] >= w_fmin[3]:
