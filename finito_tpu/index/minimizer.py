@@ -52,9 +52,11 @@ def mix32(v):
 
 def default_m(k: int, text_len: int) -> int:
     """Pick m so that duplicate m-mers (-> multi-occurrence buckets, the
-    compacted slow path) are rare: ~2 characters above log4(text) makes
-    the expected duplicate fraction ~1/16. Capped at 13 (4^13 * 4B =
-    256MiB descriptor table in HBM)."""
+    compacted slow path) are rare: ~2 characters above log4(text) puts
+    the duplicate-window fraction around 2%, which A/B-measured faster
+    than going one step further -- a 4x bigger descriptor table slows
+    EVERY window's desc gather (HBM locality) more than the smaller slow
+    path saves. Capped at 13 (4^13 * 4B = 256MiB in HBM)."""
     bits = max(1, int(text_len).bit_length())  # ~log2(text)
     m = (bits + 1) // 2 + 2  # ceil(log4) + 2
     return max(4, min(13, k, m))

@@ -39,6 +39,20 @@ from finito_tpu.ops.rank24 import update_interval24
 UNKNOWN = -2
 
 
+def compact_mask(mask, K: int):
+    """Indices of the first K set positions of a flat bool mask, padded
+    with -1, plus the true count. Hand-rolled cumsum+scatter: XLA lowers
+    jnp.nonzero(size=K) through a sort (~17ms at 1.6M elements on v5e vs
+    ~10ms for this form)."""
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    n = jnp.where(mask.size > 0, pos[-1] + 1, 0)
+    sink = jnp.where(mask & (pos < K), pos, K)
+    out = jnp.full(K, -1, jnp.int32).at[sink].set(
+        jnp.arange(mask.size, dtype=jnp.int32), mode="drop"
+    )
+    return out, n
+
+
 def make_chain_scan(n8: int, k: int, n_nodes: int):
     """Phase A. run(tab, C, contract_k, codes): (B, L) codes -> (B, L)
     per-position status: rank >= 0 found, -1 definitively absent, -2
@@ -143,8 +157,7 @@ def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int):
         W = L - k + 1
         status = chain(tab, C, contract_k, codes)[:, k - 1 :]  # (B, W)
         mask = (status == UNKNOWN).reshape(-1)
-        n_unknown = jnp.sum(mask, dtype=jnp.int32)
-        (flat_idx,) = jnp.nonzero(mask, size=K, fill_value=-1)
+        flat_idx, n_unknown = compact_mask(mask, K)
         valid = flat_idx >= 0
         lane = jnp.where(valid, flat_idx, 0) // W
         w = jnp.where(valid, flat_idx, 0) % W

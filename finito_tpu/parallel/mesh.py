@@ -27,7 +27,6 @@ complete parallelism structure of this workload.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -390,9 +389,10 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         off = jnp.where(found, off_f, -1)
 
         # shard-local slow path
+        from finito_tpu.ops.streaming import compact_mask
+
         slow_mask = (ln >= 2).reshape(-1)
-        n_slow = jnp.sum(slow_mask, dtype=jnp.int32)
-        (flat_idx,) = jnp.nonzero(slow_mask, size=K_slow, fill_value=-1)
+        flat_idx, n_slow = compact_mask(slow_mask, K_slow)
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)

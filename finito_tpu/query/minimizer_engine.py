@@ -22,14 +22,13 @@ TPU-native re-design, not a translation.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
 from finito_tpu.index.minimizer import MinimizerIndex, _LEN_SAT
+from finito_tpu.ops.streaming import compact_mask
 
 
 def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
@@ -243,8 +242,7 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
 
         # --- slow path: multi-occurrence buckets, compacted
         slow_mask = (ln >= 2).reshape(-1)
-        n_slow = jnp.sum(slow_mask, dtype=jnp.int32)
-        (flat_idx,) = jnp.nonzero(slow_mask, size=K_slow, fill_value=-1)
+        flat_idx, n_slow = compact_mask(slow_mask, K_slow)
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
