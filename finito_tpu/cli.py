@@ -192,7 +192,10 @@ def build_fmin(argv: List[str]) -> int:
 
 def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None) -> int:
     """Per-read fwd+RC query, merge, and (u,p) output
-    (ref: search_fmin.hh:33-84)."""
+    (ref: search_fmin.hh:33-84). With a device engine, reads are
+    processed in chunked batches (one device dispatch per chunk, both
+    strands stacked) instead of one dispatch per read; the output lines,
+    ordering and stats are identical."""
     from finito_tpu.io.fastx import reverse_complement
 
     k = index.sbwt.get_k()
@@ -201,15 +204,10 @@ def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None)
     kmers_count = 0
     kmers_count_rev = 0
     total_positive = 0
+    CHUNK = 4096
 
-    for _h, read in reader:
-        t0 = cur_time_micros()
-        read = bytes(read)
-        if engine is not None:
-            result, r_result = engine.search_fwd_rc(read)
-        else:
-            result = index.search(read)
-            r_result = index.search(reverse_complement(read))
+    def emit(read: bytes, result, r_result):
+        nonlocal total_positive, kmers_count, kmers_count_rev, number_of_queries
         tot_kmers = len(result.local_offsets)
         str_len = len(read)
         parts = []
@@ -225,7 +223,46 @@ def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None)
         kmers_count += result.n_found
         kmers_count_rev += r_result.n_found
         number_of_queries += tot_kmers
-        total_micros += cur_time_micros() - t0
+
+    if engine is not None:
+        fmt = "(%d,%d)".__mod__
+
+        def emit_batch(reads_chunk):
+            nonlocal total_positive, kmers_count, kmers_count_rev, number_of_queries
+            for res in engine.locate_reads_arrays(reads_chunk):
+                if res is None:
+                    out.write("\n")
+                    continue
+                fu, fp, ru, rp, nf, nr = res
+                absent = fu == -1
+                u = np.where(absent, ru[::-1], fu)
+                p = np.where(absent, rp[::-1], fp)
+                total_positive += int(np.count_nonzero(u != -1))
+                kmers_count += nf
+                kmers_count_rev += nr
+                number_of_queries += int(u.size)
+                out.write(" ".join(map(fmt, zip(u.tolist(), p.tolist()))) + "\n")
+
+        pending: List[bytes] = []
+        for _h, read in reader:
+            pending.append(bytes(read))
+            if len(pending) >= CHUNK:
+                t0 = cur_time_micros()
+                emit_batch(pending)
+                total_micros += cur_time_micros() - t0
+                pending = []
+        if pending:
+            t0 = cur_time_micros()
+            emit_batch(pending)
+            total_micros += cur_time_micros() - t0
+    else:
+        for _h, read in reader:
+            t0 = cur_time_micros()
+            read = bytes(read)
+            result = index.search(read)
+            r_result = index.search(reverse_complement(read))
+            emit(read, result, r_result)
+            total_micros += cur_time_micros() - t0
 
     write_log("k " + str(k), LogLevel.MAJOR)
     us = total_micros / number_of_queries if number_of_queries else float("nan")

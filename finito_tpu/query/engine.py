@@ -295,6 +295,41 @@ class DeviceQueryEngine:
         lines = self.process_reads([read])
         return lines[0]
 
+    def locate_reads_arrays(self, reads: Sequence[bytes]):
+        """Array-native batched fwd+RC localization: returns per read i
+        either None (short/invalid read: empty result) or
+        (uid_f, off_f, uid_r, off_r, n_found_f, n_found_r) with (W,)
+        int arrays -- the zero-tuple-materialization path for bulk CLI
+        output."""
+        from finito_tpu.io.seqdb import encode_seq
+
+        k = self.k
+        out = [None] * len(reads)
+        batch_idx, batch_codes = [], []
+        for i, read in enumerate(reads):
+            codes = encode_seq(read if isinstance(read, bytes) else read.encode())
+            if codes.size >= k and not np.any(codes == 255):
+                batch_idx.append(i)
+                batch_codes.append(codes)
+        if batch_idx:
+            L = max(c.size for c in batch_codes)
+            B = len(batch_codes)
+            both = np.full((2 * B, L), 255, dtype=np.uint8)
+            for j, c in enumerate(batch_codes):
+                both[j, : c.size] = c
+                both[B + j, : c.size] = (3 - c)[::-1]
+            uid_b, off_b = self.locate_batch(both)
+            for j, i in enumerate(batch_idx):
+                n = batch_codes[j].size - k + 1
+                uf, of = uid_b[j, :n], off_b[j, :n]
+                ur, orr = uid_b[B + j, :n], off_b[B + j, :n]
+                out[i] = (
+                    uf, of, ur, orr,
+                    int(np.count_nonzero(uf >= 0)),
+                    int(np.count_nonzero(ur >= 0)),
+                )
+        return out
+
     def process_reads(self, reads: Sequence[bytes]) -> List[Tuple[QueryResult, QueryResult]]:
         from finito_tpu.io.seqdb import encode_seq
 
@@ -313,13 +348,15 @@ class DeviceQueryEngine:
         if batch_idx:
             L = max(c.size for c in batch_codes)
             B = len(batch_codes)
-            fwd = np.full((B, L), 255, dtype=np.uint8)
-            rc = np.full((B, L), 255, dtype=np.uint8)
+            # forward and reverse-complement strands stacked in ONE device
+            # batch (rows B..2B-1 are the RC strand)
+            both = np.full((2 * B, L), 255, dtype=np.uint8)
             for j, c in enumerate(batch_codes):
-                fwd[j, : c.size] = c
-                rc[j, : c.size] = (3 - c)[::-1]
-            uid_f, off_f = self.locate_batch(fwd)
-            uid_r, off_r = self.locate_batch(rc)
+                both[j, : c.size] = c
+                both[B + j, : c.size] = (3 - c)[::-1]
+            uid_b, off_b = self.locate_batch(both)
+            uid_f, off_f = uid_b[:B], off_b[:B]
+            uid_r, off_r = uid_b[B:], off_b[B:]
             for j, i in enumerate(batch_idx):
                 n = batch_codes[j].size - k + 1
                 f = QueryResult(
