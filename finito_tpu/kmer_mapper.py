@@ -137,24 +137,25 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
             uid_r, off_r = locate_batch(rcm)
         for j, i in enumerate(batch_idx):
             n = batch_codes[j].size - k + 1
-            line = []
-            for w in range(n):
-                u, o = int(uid_f[j, w]), int(off_f[j, w])
-                if rc:
-                    wr = batch_codes[j].size - k - w
-                    ur, orr = int(uid_r[j, wr]), int(off_r[j, wr])
-                    win = batch_codes[j][w : w + k]
-                    self_rc = np.array_equal(win, (3 - win)[::-1])
-                    if ur != -1 and not self_rc:
-                        if u != -1:
-                            from finito_tpu.io.seqdb import decode_seq
+            u = uid_f[j, :n].astype(np.int64)
+            o = off_f[j, :n].astype(np.int64)
+            if rc:
+                ur = uid_r[j, :n][::-1].astype(np.int64)
+                orr = off_r[j, :n][::-1].astype(np.int64)
+                w_mat = np.lib.stride_tricks.sliding_window_view(batch_codes[j], k)
+                self_rc = np.all(w_mat == (3 - w_mat)[:, ::-1], axis=1)
+                rc_hit = (ur != -1) & ~self_rc
+                conflict = rc_hit & (u != -1)
+                if np.any(conflict):
+                    from finito_tpu.io.seqdb import decode_seq
 
-                            kmer = decode_seq(win).decode()
-                            sys.stderr.write(f"Error: k-mer {kmer} occurs in 2 unitigs\n")
-                            raise SystemExit(1)
-                        u, o = ur, orr
-                line.append((u, o))
-            answers[i] = line
+                    w = int(np.flatnonzero(conflict)[0])
+                    kmer = decode_seq(batch_codes[j][w : w + k]).decode()
+                    sys.stderr.write(f"Error: k-mer {kmer} occurs in 2 unitigs\n")
+                    raise SystemExit(1)
+                u = np.where(rc_hit, ur, u)
+                o = np.where(rc_hit, orr, o)
+            answers[i] = list(zip(u.tolist(), o.tolist()))
     return answers
 
 
