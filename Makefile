@@ -11,7 +11,7 @@ benchmark:
 	$(PY) bench.py
 
 benchmark_debug:
-	JAX_DISABLE_JIT=0 $(PY) -X dev bench.py --reps 2 --trials 1
+	JAX_DISABLE_JIT=1 $(PY) -X dev bench.py --reps 2 --trials 1
 
 tests:
 	$(PY) -m pytest tests/ -q

@@ -220,6 +220,9 @@ class FinimizerIndexBuilder:
         # sliding minimum is a single minimum chain
         if np.any(cand_colex >= (1 << 40)):
             raise ValueError("build: colex range exceeds the packed-key encoding")
+        if k > 255:
+            raise ValueError("build: k > 255 exceeds the packed window-min encoding "
+                             "(the reference caps at MAX_KMER_LENGTH=250)")
         BIGKEY = np.int64((k + 3) << 48)
         safe_len = np.where(cand_len >= BIG, k + 2, cand_len)
         cand_key = np.where(

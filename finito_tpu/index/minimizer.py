@@ -19,13 +19,27 @@ v5e). Buckets with more than one occurrence (repeated minimizers) are
 resolved in a compacted slow path; the answer is exact, never
 probabilistic: a candidate counts only if the full k-mer text matches.
 
+Bucket addressing is a HASH-SLOT table rather than a direct-address or
+perfect-hash one: occurrences sort by slot = h2(value) >> (32-h), and
+desc[slot] = (start << 6 | exact_len). Hash collisions are HARMLESS --
+a candidate only counts if its full k-mer text matches, so scanning a
+slot that mixes two values cannot produce a wrong answer, and the true
+occurrence always lives in its own value's slot. This keeps the
+duplicate-window rate governed by the LOAD FACTOR (table ~4x the
+occurrence count) instead of text_len/4^m, so the engine scales to
+arbitrary text sizes with m = 16 (exact uint32 keys) and a table ~2
+bytes/base -- the direct-address form needed 4^m entries and drowned in
+duplicate buckets past ~10 Mbp.
+
 Key layout choices:
   * minimizer values pack the FIRST char into the MOST significant bits,
     so numeric compare == lexicographic compare (the reference's
     minimizer order, minimizer_index.rs:41-52);
-  * m is capped at 13 (4^13 * 4B = 256MiB bucket-descriptor table);
-  * desc[v] = (bucket_start << 3) | min(bucket_len, 7); saturated
-    lengths fall back to scanning occ_key until the key changes.
+  * selection order is mix32(value) ("random minimizers": removes the
+    lexicographic small-value bias); the SLOT hash is a different mix
+    (slot32) so slots are not skewed by the selection bias;
+  * desc[slot] = (start << 6) | len with len exact (<= 63; the build
+    grows the table until the densest slot fits).
 """
 
 from __future__ import annotations
@@ -35,31 +49,35 @@ from dataclasses import dataclass
 
 import numpy as np
 
-_MAGIC = b"FTMIDX01"
-_LEN_SAT = 7  # desc stores min(len, 7); 7 means "7 or more"
+_MAGIC = b"FTMIDX02"
+_LEN_BITS = 6
+_LEN_MAX = (1 << _LEN_BITS) - 1
 
-# Bijective uint32 mix (odd multiplier => invertible mod 2^32). Ordering
-# minimizers by h(v) instead of v ("random minimizers") removes the
-# lexicographic small-value bias that makes low m-mers both likelier to
-# be selected AND likelier to repeat -- with raw order ~18% of windows
-# land in multi-occurrence buckets on random 400kb text; hashed, <1%.
-_MIX = np.uint32(0x9E3779B1)
+# Bijective uint32 mixes (odd multiplier => invertible mod 2^32).
+_MIX = np.uint32(0x9E3779B1)  # selection order
+_MIX2 = np.uint32(0xC2B2AE35)  # slot addressing (independent of selection)
+
+
+def _mulmix(v, c: np.uint32, shift: int) -> np.ndarray:
+    # compute in uint64 and mask: numpy warns on uint32 SCALAR overflow
+    v64 = np.asarray(v).astype(np.uint64)
+    prod = (v64 * np.uint64(int(c))) & np.uint64(0xFFFFFFFF)
+    return (prod ^ (v64 >> np.uint64(shift))).astype(np.uint32)
 
 
 def mix32(v):
-    return (v.astype(np.uint32) * _MIX) ^ (v.astype(np.uint32) >> np.uint32(16))
+    return _mulmix(v, _MIX, 16)
+
+
+def slot32(v):
+    return _mulmix(v, _MIX2, 13)
 
 
 def default_m(k: int, text_len: int) -> int:
-    """Pick m so that duplicate m-mers (-> multi-occurrence buckets, the
-    compacted slow path) are rare: ~2 characters above log4(text) puts
-    the duplicate-window fraction around 2%, which A/B-measured faster
-    than going one step further -- a 4x bigger descriptor table slows
-    EVERY window's desc gather (HBM locality) more than the smaller slow
-    path saves. Capped at 13 (4^13 * 4B = 256MiB in HBM)."""
-    bits = max(1, int(text_len).bit_length())  # ~log2(text)
-    m = (bits + 1) // 2 + 2  # ceil(log4) + 2
-    return max(4, min(13, k, m))
+    """m = 16 packs exactly into uint32 and keeps minimizer density
+    ~2/(k-m+2); the hash-slot table makes bigger m pointless and smaller
+    m only increases bucket sizes. Clamped to k for short k-mers."""
+    return max(4, min(16, k))
 
 
 def pack_mvals(codes: np.ndarray, m: int) -> np.ndarray:
@@ -80,8 +98,9 @@ class MinimizerIndex:
 
     k: int
     m: int
-    desc: np.ndarray  # (4^m,) uint32: start<<3 | min(len,7)
-    occ_key: np.ndarray  # (n_occ,) uint32 minimizer value, sorted
+    h: int  # slot bits: table has 2^h slots, slot = slot32(value) >> (32-h)
+    desc: np.ndarray  # (2^h,) uint32: start << 6 | exact len (<= 63)
+    occ_key: np.ndarray  # (n_occ,) uint32 minimizer value, sorted by (slot, value)
     occ_gstart: np.ndarray  # (n_occ,) int32 global start of the occurrence
     occ_uid: np.ndarray  # (n_occ,) int32 unitig id
     occ_off: np.ndarray  # (n_occ,) int32 local start offset within unitig
@@ -138,26 +157,37 @@ class MinimizerIndex:
             pos = np.zeros(0, dtype=np.int64)
 
         key = mv[pos] if pos.size else np.zeros(0, dtype=np.uint32)
-        order = np.argsort(key, kind="stable")
+        if pos.size >= (1 << 26):
+            raise ValueError("occurrence list exceeds 2^26; shard the index")
+
+        # hash-slot table ~32x the occurrence count: the slow-window
+        # fraction is ~the window-weighted load factor (A/B-measured
+        # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
+        # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
+        # Grown until the densest slot's exact length fits 6 bits.
+        h = max(4, int(np.ceil(np.log2(max(16, 32 * max(1, pos.size))))))
+        while True:
+            slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
+            counts = np.bincount(slots, minlength=1 << h) if key.size else np.zeros(1 << h, np.int64)
+            if counts.max(initial=0) <= _LEN_MAX and (1 << h) <= (1 << 28):
+                break
+            h += 1
+        order = np.lexsort((key, slots))
         key = key[order]
         pos = pos[order]
+
+        starts = np.zeros(1 << h, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        desc = (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | counts.astype(np.uint32)
 
         uid = np.searchsorted(ends64, pos, side="right").astype(np.int64)
         ustart = np.where(uid > 0, ends64[np.maximum(uid - 1, 0)], 0)
         off = pos - ustart
 
-        counts = np.bincount(key, minlength=4**m) if key.size else np.zeros(4**m, np.int64)
-        starts = np.zeros(4**m, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        desc = (starts.astype(np.uint32) << np.uint32(3)) | np.minimum(counts, _LEN_SAT).astype(
-            np.uint32
-        )
-        if pos.size >= (1 << 28):
-            raise ValueError("occurrence list exceeds 2^28; shard the index")
-
         return MinimizerIndex(
             k=k,
             m=m,
+            h=h,
             desc=desc,
             occ_key=key.astype(np.uint32),
             occ_gstart=pos.astype(np.int32),
@@ -193,7 +223,7 @@ class MinimizerIndex:
         ]
         with open(path, "wb") as f:
             f.write(_MAGIC)
-            f.write(struct.pack("<qqq", self.k, self.m, len(arrs)))
+            f.write(struct.pack("<qqqq", self.k, self.m, self.h, len(arrs)))
             for a in arrs:
                 f.write(struct.pack("<q", a.nbytes))
                 f.write(a.tobytes())
@@ -203,8 +233,8 @@ class MinimizerIndex:
     def load(path: str) -> "MinimizerIndex":
         with open(path, "rb") as f:
             if f.read(8) != _MAGIC:
-                raise ValueError(f"{path}: not a finito minimizer index")
-            k, m, n_arrs = struct.unpack("<qqq", f.read(24))
+                raise ValueError(f"{path}: not a finito minimizer index (expected {_MAGIC!r})")
+            k, m, h, n_arrs = struct.unpack("<qqqq", f.read(32))
             raw = []
             for _ in range(n_arrs):
                 (nb,) = struct.unpack("<q", f.read(8))
@@ -216,14 +246,16 @@ class MinimizerIndex:
         concat = np.frombuffer(raw[4], dtype="u1")
         ends = np.frombuffer(raw[5], dtype="<i8")
         headers = raw[6].split(b"\n") if len(raw) > 6 and raw[6] else None
-        counts = np.bincount(occ_key, minlength=4**m) if occ_key.size else np.zeros(4**m, np.int64)
-        starts = np.zeros(4**m, dtype=np.int64)
+        # desc rebuilt from the stored (slot-sorted) keys, like the
+        # reference rebuilds its rank supports at load
+        h = int(h)
+        slots = (slot32(occ_key) >> np.uint32(32 - h)).astype(np.int64)
+        counts = np.bincount(slots, minlength=1 << h) if occ_key.size else np.zeros(1 << h, np.int64)
+        starts = np.zeros(1 << h, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
-        desc = (starts.astype(np.uint32) << np.uint32(3)) | np.minimum(counts, _LEN_SAT).astype(
-            np.uint32
-        )
+        desc = (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | counts.astype(np.uint32)
         return MinimizerIndex(
-            k=int(k), m=int(m), desc=desc, occ_key=occ_key.copy(),
+            k=int(k), m=int(m), h=h, desc=desc, occ_key=occ_key.copy(),
             occ_gstart=occ_gstart.copy(), occ_uid=occ_uid.copy(),
             occ_off=occ_off.copy(), concat=concat.copy(), ends=ends.copy(),
             headers=headers,
@@ -250,9 +282,13 @@ class MinimizerIndex:
         mv = pack_mvals(codes, m)
         o = int(np.argmin(mix32(mv)))
         v = int(mv[o])
+        slot = int(slot32(np.uint32(v))) >> (32 - self.h)
+        d = int(self.desc[slot])
+        start, ln = d >> _LEN_BITS, d & _LEN_MAX
         out = []
-        i = int(self.desc[v]) >> 3
-        while i < self.occ_key.size and self.occ_key[i] == v:
+        for i in range(start, min(start + ln, self.occ_key.size)):
+            if int(self.occ_key[i]) != v:
+                continue  # hash-collision neighbor in the same slot
             g = int(self.occ_gstart[i]) - o
             uid = int(self.occ_uid[i])
             off = int(self.occ_off[i]) - o
@@ -262,7 +298,6 @@ class MinimizerIndex:
                 and np.array_equal(self.concat[g : g + k], codes)
             ):
                 out.append((uid, off))
-            i += 1
         return out
 
     def lookup_kmer_host(self, codes: np.ndarray):
@@ -272,20 +307,5 @@ class MinimizerIndex:
         assert codes.size == k
         if np.any(codes > 3):
             return (-1, -1)
-        mv = pack_mvals(codes, m)
-        o = int(np.argmin(mix32(mv)))
-        v = int(mv[o])
-        d = int(self.desc[v])
-        start, ln = d >> 3, d & _LEN_SAT
-        i = start
-        while i < self.occ_key.size and self.occ_key[i] == v:
-            g = int(self.occ_gstart[i]) - o
-            uid = int(self.occ_uid[i])
-            off = int(self.occ_off[i]) - o
-            uend = int(self.ends[uid])
-            if off >= 0 and g + k <= uend and np.array_equal(self.concat[g : g + k], codes):
-                return (uid, off)
-            i += 1
-            if ln < _LEN_SAT and i >= start + ln:
-                break
-        return (-1, -1)
+        occs = self.lookup_kmer_host_all(codes)
+        return occs[0] if occs else (-1, -1)

@@ -62,15 +62,16 @@ class SeqDB:
         import gzip as _gzip
 
         from finito_tpu.io.fastx import _is_gzipped
-        from finito_tpu.native import parse_fastx_bytes
+        from finito_tpu.native import get_lib, parse_fastx_bytes
 
-        opener = _gzip.open if _is_gzipped(path) else open
-        with opener(path, "rb") as f:
-            data = f.read()
-        parsed = parse_fastx_bytes(data)
-        if parsed is not None:
-            codes, ends, headers = parsed
-            return SeqDB(concat=codes, ends=ends, headers=headers)
+        if get_lib() is not None:
+            opener = _gzip.open if _is_gzipped(path) else open
+            with opener(path, "rb") as f:
+                data = f.read()
+            parsed = parse_fastx_bytes(data)
+            if parsed is not None:
+                codes, ends, headers = parsed
+                return SeqDB(concat=codes, ends=ends, headers=headers)
 
         from finito_tpu.io.fastx import SequenceReader
 

@@ -20,9 +20,9 @@ Semantics match the Rust binary:
   * extract-index-unitigs reproduces the stored records.
 
 Deviations (documented): the index file format is finito's own
-(FTMIDX01, index/minimizer.py) rather than Rust bincode; -m above 13 is
-clamped (our direct-addressed bucket table replaces boomphf's MPHF --
-query answers are independent of m, it is purely a performance knob);
+(FTMIDX01, index/minimizer.py) rather than Rust bincode; -m above 16 is
+clamped (our hash-slot bucket table replaces boomphf's MPHF -- query
+answers are independent of m, it is purely a performance knob);
 -t is accepted for compatibility (the TPU path needs no host threads).
 
 The default query path runs on the accelerator in batches; --host-exact
@@ -71,9 +71,9 @@ def build(argv: List[str]) -> int:
     ends = np.cumsum([s.size for s in seqs]).astype(np.int64)
 
     m = args.m
-    if m is not None and m > 13:
-        sys.stderr.write(f"m={m} clamped to 13 (query answers are independent of m)\n")
-        m = 13
+    if m is not None and m > 16:
+        sys.stderr.write(f"m={m} clamped to 16 (query answers are independent of m)\n")
+        m = 16
     if m is None:
         m = default_m(args.k, int(concat.size))
     sys.stderr.write(f"k = {args.k}, m = {m}\n")

@@ -40,11 +40,16 @@ def _compile() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The loaded native library, or None (Python fallback)."""
+    """The loaded native library, or None (Python fallback).
+
+    FINITO_NO_NATIVE is honored on EVERY call (not just the first), so
+    tests can flip between implementations mid-process."""
     global _lib, _tried
+    if os.environ.get("FINITO_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
-    if _tried or os.environ.get("FINITO_NO_NATIVE"):
+    if _tried:
         return _lib
     with _lock:
         if _tried:

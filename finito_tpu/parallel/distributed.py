@@ -90,10 +90,7 @@ def run_distributed_queries(engine, reads: List[bytes], out_path: str,
     """Per-host slice -> batched engine -> part file; process 0 merges.
     (The merge barrier is the caller's; in a pjit program the natural
     barrier is a tiny psum.)"""
-    from finito_tpu.io.fastx import reverse_complement  # noqa: F401  (parity import)
-
     mine = split_for_process(reads, process_id, num_processes)
-    k = engine.k
     lines = []
     for f, r in engine.process_reads(mine):
         parts = []

@@ -237,89 +237,85 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
 class ShardedMinimizerIndex:
     """The throughput (minimizer) engine's index sharded for (dp, tp).
 
-    The minimizer VALUE space [0, 4^m) splits into tp contiguous ranges;
-    desc and the occurrence arrays are value-sorted, so each shard holds
-    a contiguous slice (bucket starts rebased shard-locally). Every query
+    The SLOT space [0, 2^h) splits into tp contiguous ranges; desc and
+    the occurrence arrays are slot-sorted, so each shard holds a
+    contiguous slice (slot starts rebased shard-locally). Every query
     window is owned by exactly one shard -- the one whose range contains
-    its minimizer -- so the combine is a single psum of owner
+    its minimizer's slot -- so the combine is a single psum of owner
     contributions over tp. The packed text is replicated (2-4 bits/base;
     the big arrays at pangenome scale are desc + occurrences).
     """
 
     desc: np.ndarray  # (tp, V) uint32, shard-local starts
-    occ_key: np.ndarray  # (tp, occ_per_shard) uint32
     occ_rows: np.ndarray  # (tp, occ_per_shard, 4) int32
     n_occ: np.ndarray  # (tp,) int32 true occurrence count per shard
     text_rows: np.ndarray  # replicated overlapped rows (k <= 32)
     k: int
     m: int
-    V: int  # values per shard
+    h: int
+    V: int  # slots per shard
 
     @staticmethod
     def from_minimizer_index(mindex, tp: int) -> "ShardedMinimizerIndex":
-        from finito_tpu.index.minimizer import _LEN_SAT
-        from finito_tpu.query.minimizer_engine import _n_words, pack_text_words
+        from finito_tpu.index.minimizer import _LEN_BITS, _LEN_MAX, slot32
+        from finito_tpu.query.minimizer_engine import (
+            _n_words,
+            build_occ_rows,
+            build_text_rows,
+            pack_text_words,
+        )
 
         if mindex.k > 32:
             raise ValueError("sharded minimizer locate currently requires k <= 32")
-        n_vals = 4**mindex.m
-        V = -(-n_vals // tp)
-        keys = np.asarray(mindex.occ_key, np.int64)
-        bounds = np.searchsorted(keys, np.arange(tp + 1) * V)
+        h = mindex.h
+        n_slots = 1 << h
+        V = -(-n_slots // tp)
+        slots = (slot32(mindex.occ_key) >> np.uint32(32 - h)).astype(np.int64)
+        bounds = np.searchsorted(slots, np.arange(tp + 1) * V)
         per = int(max(1, (np.diff(bounds)).max()))
         desc = np.zeros((tp, V), dtype=np.uint32)
-        occ_key = np.zeros((tp, per), dtype=np.uint32)
         occ_rows = np.zeros((tp, per, 4), dtype=np.int32)
         n_occ = np.zeros(tp, dtype=np.int32)
-        ends32 = np.asarray(mindex.ends, np.int32)
-        uend = ends32[np.asarray(mindex.occ_uid)] if keys.size else np.zeros(0, np.int32)
-        rows_all = np.stack(
-            [
-                np.asarray(mindex.occ_gstart, np.int32),
-                np.asarray(mindex.occ_uid, np.int32),
-                np.asarray(mindex.occ_off, np.int32),
-                uend,
-            ],
-            axis=1,
-        ) if keys.size else np.zeros((0, 4), np.int32)
+        rows_all = build_occ_rows(mindex)  # same layout as the 1-chip engine
         for s in range(tp):
             a, b = int(bounds[s]), int(bounds[s + 1])
-            lo_v, hi_v = s * V, min(n_vals, (s + 1) * V)
-            d = np.asarray(mindex.desc[lo_v:hi_v], np.uint32)
-            starts = (d >> np.uint32(3)).astype(np.int64) - a  # rebase
-            lens = d & np.uint32(_LEN_SAT)
-            desc[s, : hi_v - lo_v] = (starts.astype(np.uint32) << np.uint32(3)) | lens
-            occ_key[s, : b - a] = mindex.occ_key[a:b]
+            lo_s, hi_s = s * V, min(n_slots, (s + 1) * V)
+            d = np.asarray(mindex.desc[lo_s:hi_s], np.uint32)
+            starts = (d >> np.uint32(_LEN_BITS)).astype(np.int64) - a  # rebase
+            lens = d & np.uint32(_LEN_MAX)
+            desc[s, : hi_s - lo_s] = (
+                (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
+            )
             occ_rows[s, : b - a] = rows_all[a:b]
             n_occ[s] = b - a
         words = pack_text_words(np.asarray(mindex.concat, np.uint8), _n_words(mindex.k) + 3)
-        n2 = (words.size - 2) // 2
-        text_rows = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(words, 4)[: 2 * n2 : 2]
-        )
+        text_rows = build_text_rows(words)
         return ShardedMinimizerIndex(
-            desc=desc, occ_key=occ_key, occ_rows=occ_rows, n_occ=n_occ,
-            text_rows=text_rows, k=mindex.k, m=mindex.m, V=V,
+            desc=desc, occ_rows=occ_rows, n_occ=n_occ,
+            text_rows=text_rows, k=mindex.k, m=mindex.m, h=h, V=V,
         )
 
 
 def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: int = 4096):
     """pjit-ed minimizer locate over (dp, tp): batch sharded over dp,
-    minimizer-value ranges over tp; one psum combines owner answers."""
-    from finito_tpu.index.minimizer import _LEN_SAT
-    from finito_tpu.query.minimizer_engine import _word_masks
+    minimizer SLOT ranges over tp; one psum combines owner answers."""
+    from finito_tpu.index.minimizer import _LEN_BITS, _LEN_MAX
+    from finito_tpu.query.minimizer_engine import (
+        _word_masks,
+        mix32_device,
+        slot32_device,
+    )
 
-    k, m, V = sh.k, sh.m, sh.V
+    k, m, hbits, V = sh.k, sh.m, sh.h, sh.V
     R = k - m + 1
     masks = _word_masks(k)
     NW = len(masks)
 
-    def locate(desc, occ_key, occ_rows, n_occ, text_rows, codes):
+    def locate(desc, occ_rows, n_occ, text_rows, codes):
         desc = desc[0]
-        occ_key = occ_key[0]
         occ_rows = occ_rows[0]
         n_occ = n_occ[0]
-        val_start = lax.axis_index("tp").astype(jnp.uint32) * jnp.uint32(V)
+        slot_start = lax.axis_index("tp").astype(jnp.uint32) * jnp.uint32(V)
 
         B, L = codes.shape
         W = L - k + 1
@@ -331,7 +327,7 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
             ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
             mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
             bad_m = bad_m | (ci > 3)
-        hv = (mv * jnp.uint32(0x9E3779B1)) ^ (mv >> jnp.uint32(16))
+        hv = mix32_device(mv)
         best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
         best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
         best_o = jnp.zeros((B, W), jnp.int32)
@@ -353,34 +349,26 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
                 qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
             q_words.append(qw)
 
-        local_v = best_v - val_start
-        mine = ~bad & (local_v < jnp.uint32(V))  # unsigned: below range wraps
-        d = jnp.take(desc, jnp.where(mine, local_v, 0).astype(jnp.int32))
-        start = (d >> jnp.uint32(3)).astype(jnp.int32)
-        ln = jnp.where(mine, (d & jnp.uint32(_LEN_SAT)).astype(jnp.int32), 0)
+        slot = slot32_device(best_v) >> jnp.uint32(32 - hbits)
+        local_s = slot - slot_start
+        mine = ~bad & (local_s < jnp.uint32(V))  # unsigned: below range wraps
+        d = jnp.take(desc, jnp.where(mine, local_s, 0).astype(jnp.int32))
+        start = (d >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
+        ln = jnp.where(mine, (d & jnp.uint32(_LEN_MAX)).astype(jnp.int32), 0)
 
         def check(idx, o, qws):
+            # same candidate check as the 1-chip engine, on shard-local rows
+            from finito_tpu.query.minimizer_engine import _match_text_kmer_rows
+
             row = jnp.take(occ_rows, idx, axis=0)
             g_m, uid, off_m, uend = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
             g_w = g_m - o
             off_w = off_m - o
             ok = (off_w >= 0) & (g_w + k <= uend)
-            bit = jnp.maximum(g_w, 0).astype(jnp.uint32) << jnp.uint32(1)
-            w0 = (bit >> jnp.uint32(5)).astype(jnp.int32)
-            shm = bit & jnp.uint32(31)
-            trow = jnp.take(text_rows, w0 >> 1, axis=0)
-            odd = (w0 & 1) == 1
-            t0 = jnp.where(odd, trow[..., 1], trow[..., 0])
-            t1 = jnp.where(odd, trow[..., 2], trow[..., 1])
-            t2 = jnp.where(odd, trow[..., 3], trow[..., 2])
-            nz = shm > 0
-            inv = jnp.where(nz, jnp.uint32(32) - shm, jnp.uint32(0))
-            lo = (t0 >> shm) | jnp.where(nz, t1 << inv, jnp.uint32(0))
-            match = ((lo ^ qws[0]) & masks[0]) == 0
-            if NW > 1:
-                hi = (t1 >> shm) | jnp.where(nz, t2 << inv, jnp.uint32(0))
-                match = match & (((hi ^ qws[1]) & masks[1]) == 0)
-            return ok & match, uid, off_w
+            match = ok & _match_text_kmer_rows(
+                text_rows, jnp.maximum(g_w, 0), qws, masks
+            )
+            return match, uid, off_w
 
         fast = ln == 1
         match, uid_f, off_f = check(jnp.where(fast, start, 0), best_o, q_words)
@@ -396,7 +384,7 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        s_v = jnp.take(best_v.reshape(-1), safe)
+        s_end = s_start + jnp.take(ln.reshape(-1), safe)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 
@@ -406,14 +394,13 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
 
         def body(st):
             i, u, o2, done = st
-            in_range = i < n_occ
+            in_range = (i < s_end) & (i < n_occ)
             ci = jnp.where(in_range, i, 0)
-            key_ok = in_range & (jnp.take(occ_key, ci) == s_v)
             mt, uc, oc = check(ci, s_o, s_qw)
-            hit = ~done & key_ok & mt
+            hit = ~done & in_range & mt
             u = jnp.where(hit, uc, u)
             o2 = jnp.where(hit, oc, o2)
-            done = done | hit | ~key_ok
+            done = done | hit | (i + 1 >= s_end)
             return i + 1, u, o2, done
 
         uid_s = jnp.full((K_slow,), -1, jnp.int32)
@@ -436,7 +423,6 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         mesh=mesh,
         in_specs=(
             P("tp", None),  # desc
-            P("tp", None),  # occ_key
             P("tp", None, None),  # occ_rows
             P("tp"),  # n_occ
             P(),  # text_rows
@@ -447,15 +433,14 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
     )
 
     @jax.jit
-    def run(desc, occ_key, occ_rows, n_occ, text_rows, codes):
-        return shmapped(desc, occ_key, occ_rows, n_occ, text_rows, codes)
+    def run(desc, occ_rows, n_occ, text_rows, codes):
+        return shmapped(desc, occ_rows, n_occ, text_rows, codes)
 
     def call(codes):
         args = [
             jax.device_put(x, NamedSharding(mesh, spec))
             for x, spec in (
                 (sh.desc, P("tp", None)),
-                (sh.occ_key, P("tp", None)),
                 (sh.occ_rows, P("tp", None, None)),
                 (sh.n_occ, P("tp")),
                 (sh.text_rows, P()),

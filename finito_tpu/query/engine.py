@@ -117,7 +117,12 @@ class DeviceQueryEngine:
         self.index = index
         self.k = index.sbwt.get_k()
         self.mode = mode
-        self.dsbwt = DeviceSBWT.from_host(index.sbwt)
+        # SBWT device upload only for the modes that use it: the replica
+        # and minimizer engines build their own device structures, and
+        # holding a dead SBWT in HBM defeats the compact replica mode.
+        self.dsbwt = (
+            DeviceSBWT.from_host(index.sbwt) if mode in ("dense", "stream") else None
+        )
         self.ends_dev = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
         if mode == "dense":
             self.pos_table = build_position_table(
@@ -208,7 +213,7 @@ class DeviceQueryEngine:
         elif mode == "replica":
             from finito_tpu.query.replica import make_replica_locate
 
-            self._locate = make_replica_locate(index, self.dsbwt, self.ends_dev)
+            self._locate = make_replica_locate(index)
         else:
             raise ValueError(f"unknown engine mode {mode}")
 

@@ -27,8 +27,48 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from finito_tpu.index.minimizer import MinimizerIndex, _LEN_SAT
+from finito_tpu.index.minimizer import MinimizerIndex, _LEN_BITS, _LEN_MAX, _MIX2
 from finito_tpu.ops.streaming import compact_mask
+
+
+MIX32 = 0x9E3779B1  # must match index.minimizer.mix32 (selection order)
+
+
+def mix32_device(v):
+    """Device twin of index.minimizer.mix32 (hashed minimizer order)."""
+    return (v * jnp.uint32(MIX32)) ^ (v >> jnp.uint32(16))
+
+
+def slot32_device(v):
+    """Device twin of index.minimizer.slot32 (slot addressing)."""
+    return (v * jnp.uint32(int(_MIX2))) ^ (v >> jnp.uint32(13))
+
+
+def build_occ_rows(mindex: MinimizerIndex) -> np.ndarray:
+    """(n_occ, 4) int32 candidate payload rows (gstart, uid, off, uend):
+    one row gather per candidate check."""
+    n_occ = int(mindex.occ_key.size)
+    if not n_occ:
+        return np.zeros((0, 4), np.int32)
+    ends32 = np.asarray(mindex.ends, dtype=np.int32)
+    uend = ends32[np.asarray(mindex.occ_uid)]
+    return np.stack(
+        [
+            np.asarray(mindex.occ_gstart, np.int32),
+            np.asarray(mindex.occ_uid, np.int32),
+            np.asarray(mindex.occ_off, np.int32),
+            uend,
+        ],
+        axis=1,
+    )
+
+
+def build_text_rows(words: np.ndarray) -> np.ndarray:
+    """Overlapped stride-2 rows of 4 words over the packed text (k <= 32):
+    any <= 3-word window is one row gather (2x text memory)."""
+    n2 = (words.size - 2) // 2
+    rows = np.lib.stride_tricks.sliding_window_view(words, 4)[: 2 * n2 : 2]
+    return np.ascontiguousarray(rows)
 
 
 def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
@@ -59,40 +99,28 @@ class DeviceMinimizerIndex:
 
     def tree_flatten(self):
         leaves = (self.desc, self.occ_key, self.occ_rows, self.ends, self.text, self.text_rows)
-        return leaves, (self.k, self.m, self.n_occ)
+        return leaves, (self.k, self.m, self.n_occ, self.h)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
         obj.desc, obj.occ_key, obj.occ_rows, obj.ends, obj.text, obj.text_rows = leaves
-        obj.k, obj.m, obj.n_occ = aux
+        obj.k, obj.m, obj.n_occ, obj.h = aux
         return obj
 
     def __init__(self, mindex: MinimizerIndex):
         self.k = mindex.k
         self.m = mindex.m
+        self.h = mindex.h
         self.n_occ = int(mindex.occ_key.size)
         self.desc = jnp.asarray(mindex.desc)
         self.occ_key = jnp.asarray(mindex.occ_key)
-        ends32 = np.asarray(mindex.ends, dtype=np.int32)
-        uend = ends32[np.asarray(mindex.occ_uid)] if self.n_occ else np.zeros(0, np.int32)
-        occ_rows = np.stack(
-            [
-                np.asarray(mindex.occ_gstart, np.int32),
-                np.asarray(mindex.occ_uid, np.int32),
-                np.asarray(mindex.occ_off, np.int32),
-                uend,
-            ],
-            axis=1,
-        ) if self.n_occ else np.zeros((0, 4), np.int32)
-        self.occ_rows = jnp.asarray(occ_rows)
-        self.ends = jnp.asarray(ends32)
+        self.occ_rows = jnp.asarray(build_occ_rows(mindex))
+        self.ends = jnp.asarray(np.asarray(mindex.ends, dtype=np.int32))
         words = pack_text_words(mindex.concat, _n_words(mindex.k) + 3)
         self.text = jnp.asarray(words)
         if mindex.k <= 32:
-            n2 = (words.size - 2) // 2
-            rows = np.lib.stride_tricks.sliding_window_view(words, 4)[: 2 * n2 : 2]
-            self.text_rows = jnp.asarray(np.ascontiguousarray(rows))
+            self.text_rows = jnp.asarray(build_text_rows(words))
         else:
             self.text_rows = None
 
@@ -199,9 +227,8 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
             mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
             bad_m = bad_m | (ci > 3)
 
-        # selection order = mix32(value) ("random minimizers", see
-        # index.minimizer.mix32); ties keep the leftmost, same as build
-        hv = (mv * jnp.uint32(0x9E3779B1)) ^ (mv >> jnp.uint32(16))
+        # hashed ("random") minimizer order; ties keep the leftmost, same as build
+        hv = mix32_device(mv)
         best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
         best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
         best_o = jnp.zeros((B, W), jnp.int32)
@@ -225,13 +252,15 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
                 qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
             q_words.append(qw)
 
-        # --- bucket descriptor (1 gather)
-        d = jnp.take(dmi.desc, jnp.where(bad, 0, best_v).astype(jnp.int32))
-        start = (d >> jnp.uint32(3)).astype(jnp.int32)
-        ln = (d & jnp.uint32(_LEN_SAT)).astype(jnp.int32)
+        # --- slot descriptor (1 gather): slot = slot32(v) >> (32-h); hash
+        # collisions are harmless (the text compare is the arbiter)
+        slot = (slot32_device(best_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
+        d = jnp.take(dmi.desc, jnp.where(bad, 0, slot))
+        start = (d >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
+        ln = (d & jnp.uint32(_LEN_MAX)).astype(jnp.int32)
         ln = jnp.where(bad, 0, ln)
 
-        # --- fast path: single-occurrence buckets (4 + NW+1 gathers)
+        # --- fast path: single-occurrence slots (1 + NW+1 gathers)
         fast = ln == 1
         idx = jnp.where(fast, start, 0)
         match, uid_f, off_f = _check_candidate(dmi, idx, best_o, q_words, masks, k)
@@ -240,13 +269,15 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         uid = jnp.where(found_f, uid_f, neg)
         off = jnp.where(found_f, off_f, neg)
 
-        # --- slow path: multi-occurrence buckets, compacted
+        # --- slow path: multi-occurrence slots, compacted; exact slot
+        # lengths bound the scan (no key gathers -- a wrong-value
+        # candidate simply fails the text compare)
         slow_mask = (ln >= 2).reshape(-1)
         flat_idx, n_slow = compact_mask(slow_mask, K_slow)
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        s_v = jnp.take(best_v.reshape(-1), safe)
+        s_end = s_start + jnp.take(ln.reshape(-1), safe)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 
@@ -256,14 +287,13 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
 
         def body(st):
             i, uid, off, done = st
-            in_range = i < n_occ
+            in_range = (i < s_end) & (i < n_occ)
             ci = jnp.where(in_range, i, 0)
-            key_ok = in_range & (jnp.take(dmi.occ_key, ci) == s_v)
             match, uid_c, off_c = _check_candidate(dmi, ci, s_o, s_qw, masks, k)
-            hit = ~done & key_ok & match
+            hit = ~done & in_range & match
             uid = jnp.where(hit, uid_c, uid)
             off = jnp.where(hit, off_c, off)
-            done = done | hit | ~key_ok
+            done = done | hit | (i + 1 >= s_end)
             return i + 1, uid, off, done
 
         i0 = s_start

@@ -73,10 +73,11 @@ def rank1(tab, i):
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
 
 
-def make_replica_locate(index, dsbwt=None, ends_dev=None):
+def make_replica_locate(index):
     """(B, L) codes (np/jnp uint8, pad 255) -> ((B, W) uid, (B, W) off).
 
-    Self-contained: derives its device tables from the loaded index.
+    Self-contained: derives its device tables from the loaded index
+    (no DeviceSBWT upload; rank runs on the rank24 tables below).
     """
     k = index.sbwt.get_k()
     n_nodes = index.sbwt.number_of_subsets()
