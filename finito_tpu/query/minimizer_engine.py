@@ -2,15 +2,18 @@
 
 Per (B, W) window batch, entirely divergence-free on the fast path:
 
-  1. minimizer value+offset per window  -- rolling VPU ops, 0 gathers
-  2. bucket descriptor                  -- 1 gather  (direct-addressed)
-  3. single-occurrence candidate        -- 4 gathers (gstart, uid, off, uend)
-  4. packed-text verification           -- 3 gathers (three uint32 words)
+  1. minimizer value+offset per window   -- rolling VPU ops, 0 gathers
+  2. hash-slot descriptor                -- 1 scalar gather
+  3. single-occurrence candidate payload -- 1 (n,4)-row gather
+  4. packed-text verification            -- 1 overlapped-row gather
+                                            (k <= 32; rolling words above)
 
-Multi-occurrence buckets (repeated minimizers; rare with a well-chosen m)
-are compacted and resolved by an exact candidate-scan while_loop. Output
-is identical to FinimizerIndex.search / the SBWT engines: (uid, off) or
-(-1, -1) per window.
+Multi-occurrence slots (hash collisions or repeated minimizers, ~1/load
+factor of windows) are compacted and resolved by an exact candidate-scan
+while_loop bounded by the slot's stored length -- no key compares: a
+wrong-value candidate simply fails the text compare, and the true
+occurrence always lives in its own value's slot. Output is identical to
+FinimizerIndex.search / the SBWT engines: (uid, off) or (-1, -1).
 
 TPU design notes: batched HBM gathers are the only scarce resource
 (~100-200M/s on v5e); everything else here (rolling packs, sliding min,
@@ -98,13 +101,13 @@ class DeviceMinimizerIndex:
     2 bits -> 4 bits/base) so any <= 3-word window is one row gather."""
 
     def tree_flatten(self):
-        leaves = (self.desc, self.occ_key, self.occ_rows, self.ends, self.text, self.text_rows)
+        leaves = (self.desc, self.occ_rows, self.ends, self.text, self.text_rows)
         return leaves, (self.k, self.m, self.n_occ, self.h)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
-        obj.desc, obj.occ_key, obj.occ_rows, obj.ends, obj.text, obj.text_rows = leaves
+        obj.desc, obj.occ_rows, obj.ends, obj.text, obj.text_rows = leaves
         obj.k, obj.m, obj.n_occ, obj.h = aux
         return obj
 
@@ -114,7 +117,6 @@ class DeviceMinimizerIndex:
         self.h = mindex.h
         self.n_occ = int(mindex.occ_key.size)
         self.desc = jnp.asarray(mindex.desc)
-        self.occ_key = jnp.asarray(mindex.occ_key)
         self.occ_rows = jnp.asarray(build_occ_rows(mindex))
         self.ends = jnp.asarray(np.asarray(mindex.ends, dtype=np.int32))
         words = pack_text_words(mindex.concat, _n_words(mindex.k) + 3)
