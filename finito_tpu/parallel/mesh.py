@@ -262,11 +262,12 @@ class ShardedMinimizerIndex:
             _n_words,
             build_occ_rows,
             build_text_rows,
+            build_text_rows8,
             pack_text_words,
         )
 
-        if mindex.k > 32:
-            raise ValueError("sharded minimizer locate currently requires k <= 32")
+        if mindex.k > 64:
+            raise ValueError("sharded minimizer locate currently requires k <= 64")
         h = mindex.h
         n_slots = 1 << h
         V = -(-n_slots // tp)
@@ -288,8 +289,10 @@ class ShardedMinimizerIndex:
             )
             occ_rows[s, : b - a] = rows_all[a:b]
             n_occ[s] = b - a
-        words = pack_text_words(np.asarray(mindex.concat, np.uint8), _n_words(mindex.k) + 3)
-        text_rows = build_text_rows(words)
+        words = pack_text_words(np.asarray(mindex.concat, np.uint8), _n_words(mindex.k) + 5)
+        text_rows = (
+            build_text_rows(words) if mindex.k <= 32 else build_text_rows8(words)
+        )
         return ShardedMinimizerIndex(
             desc=desc, occ_rows=occ_rows, n_occ=n_occ,
             text_rows=text_rows, k=mindex.k, m=mindex.m, h=h, V=V,
@@ -301,6 +304,8 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
     minimizer SLOT ranges over tp; one psum combines owner answers."""
     from finito_tpu.index.minimizer import _LEN_BITS, _LEN_MAX
     from finito_tpu.query.minimizer_engine import (
+        _match_text_kmer_rows,
+        _match_text_kmer_rows8,
         _word_masks,
         mix32_device,
         slot32_device,
@@ -358,16 +363,13 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
 
         def check(idx, o, qws):
             # same candidate check as the 1-chip engine, on shard-local rows
-            from finito_tpu.query.minimizer_engine import _match_text_kmer_rows
-
             row = jnp.take(occ_rows, idx, axis=0)
             g_m, uid, off_m, uend = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
             g_w = g_m - o
             off_w = off_m - o
             ok = (off_w >= 0) & (g_w + k <= uend)
-            match = ok & _match_text_kmer_rows(
-                text_rows, jnp.maximum(g_w, 0), qws, masks
-            )
+            matcher = _match_text_kmer_rows if k <= 32 else _match_text_kmer_rows8
+            match = ok & matcher(text_rows, jnp.maximum(g_w, 0), qws, masks)
             return match, uid, off_w
 
         fast = ln == 1

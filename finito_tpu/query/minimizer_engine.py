@@ -74,6 +74,14 @@ def build_text_rows(words: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(rows)
 
 
+def build_text_rows8(words: np.ndarray) -> np.ndarray:
+    """Overlapped stride-4 rows of 8 words (32 < k <= 64): any <= 5-word
+    window is one row gather (2x text memory)."""
+    n4 = (words.size - 4) // 4
+    rows = np.lib.stride_tricks.sliding_window_view(words, 8)[: 4 * n4 : 4]
+    return np.ascontiguousarray(rows)
+
+
 def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
     """2-bit pack host codes into uint32 words, base j at bits [2j, 2j+2)
     of the word stream (sdsl/PackedStrings bit order); pad_words extra
@@ -119,10 +127,12 @@ class DeviceMinimizerIndex:
         self.desc = jnp.asarray(mindex.desc)
         self.occ_rows = jnp.asarray(build_occ_rows(mindex))
         self.ends = jnp.asarray(np.asarray(mindex.ends, dtype=np.int32))
-        words = pack_text_words(mindex.concat, _n_words(mindex.k) + 3)
+        words = pack_text_words(mindex.concat, _n_words(mindex.k) + 5)
         self.text = jnp.asarray(words)
         if mindex.k <= 32:
             self.text_rows = jnp.asarray(build_text_rows(words))
+        elif mindex.k <= 64:
+            self.text_rows = jnp.asarray(build_text_rows8(words))
         else:
             self.text_rows = None
 
@@ -182,18 +192,49 @@ def _match_text_kmer_rows(text_rows, g, q_words, masks):
     return match
 
 
+def _match_text_kmer_rows8(text_rows8, g, q_words, masks):
+    """32 < k <= 64 form: ONE overlapped (n,8)-row gather supplies the
+    (up to) five words any <= 128-bit window can span; the in-row word
+    offset (0..3) resolves with select chains."""
+    bit = g.astype(jnp.uint32) << jnp.uint32(1)
+    w0 = (bit >> jnp.uint32(5)).astype(jnp.int32)
+    sh = bit & jnp.uint32(31)
+    row = jnp.take(text_rows8, w0 >> 2, axis=0)  # (..., 8): words [4r, 4r+8)
+    o = w0 & 3
+
+    def pick(i):
+        v = row[..., i]
+        for d in (1, 2, 3):
+            v = jnp.where(o == d, row[..., i + d], v)
+        return v
+
+    nz = sh > 0
+    inv = jnp.where(nz, jnp.uint32(32) - sh, jnp.uint32(0))
+    match = None
+    prev = pick(0)
+    for w, mask in enumerate(masks):
+        cur = pick(w + 1)
+        assembled = (prev >> sh) | jnp.where(nz, cur << inv, jnp.uint32(0))
+        ok_w = ((assembled ^ q_words[w]) & mask) == 0
+        match = ok_w if match is None else (match & ok_w)
+        prev = cur
+    return match
+
+
 def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
     """Verify occurrence `idx` against the query window whose minimizer
     offset is `o`. One (n,4) payload row gather + one text gather (row
-    form for k <= 32). Returns (match, uid, off)."""
+    form for k <= 64). Returns (match, uid, off)."""
     row = jnp.take(dmi.occ_rows, idx, axis=0)  # (..., 4)
     g_m, uid, off_m, uend = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
     g_w = g_m - o
     off_w = off_m - o
     ok = (off_w >= 0) & (g_w + k <= uend)
     g_safe = jnp.maximum(g_w, 0)
-    if dmi.text_rows is not None:
+    if dmi.text_rows is not None and k <= 32:
         match = ok & _match_text_kmer_rows(dmi.text_rows, g_safe, q_words, masks)
+    elif dmi.text_rows is not None:
+        match = ok & _match_text_kmer_rows8(dmi.text_rows, g_safe, q_words, masks)
     else:
         match = ok & _match_text_kmer(dmi.text, g_safe, q_words, masks, k)
     return match, uid, off_w
