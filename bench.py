@@ -54,7 +54,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--genome", type=int, default=400_000, help="synthetic genome length")
     p.add_argument("--k", type=int, default=31)
-    p.add_argument("--batch", type=int, default=4096, help="reads per device batch")
+    p.add_argument("--batch", type=int, default=8192, help="reads per device batch")
     p.add_argument("--read-len", type=int, default=128)
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--trials", type=int, default=3, help="take the fastest trial (tunnel TPU is time-shared)")
