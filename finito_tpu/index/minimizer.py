@@ -164,21 +164,26 @@ class MinimizerIndex:
         # fraction is ~the window-weighted load factor (A/B-measured
         # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
-        # Grown until the densest slot's exact length fits 6 bits.
-        h = max(4, int(np.ceil(np.log2(max(16, 32 * max(1, pos.size))))))
-        while True:
-            slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
-            counts = np.bincount(slots, minlength=1 << h) if key.size else np.zeros(1 << h, np.int64)
-            if counts.max(initial=0) <= _LEN_MAX and (1 << h) <= (1 << 28):
-                break
-            h += 1
+        h = max(4, min(28, int(np.ceil(np.log2(max(16, 32 * max(1, pos.size)))))))
+        slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = np.lexsort((key, slots))
         key = key[order]
         pos = pos[order]
+        slots = slots[order]
+        counts = np.bincount(slots, minlength=1 << h) if key.size else np.zeros(1 << h, np.int64)
 
-        starts = np.zeros(1 << h, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        desc = (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | counts.astype(np.uint32)
+        # desc has 2^h + 1 entries; the stored length SATURATES at 63 (a
+        # value selected >63 times -- repeats -- cannot be split by a
+        # bigger table since equal values share a slot). Saturation only
+        # affects the fast/slow classification; the slow path derives the
+        # EXACT slot end from the next slot's start (starts are a cumsum).
+        starts = np.zeros((1 << h) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        lens = np.minimum(counts, _LEN_MAX).astype(np.uint32)
+        desc = (starts[:-1].astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
+        desc = np.concatenate(
+            [desc, np.uint32(starts[-1] << _LEN_BITS)[None]]
+        )
 
         uid = np.searchsorted(ends64, pos, side="right").astype(np.int64)
         ustart = np.where(uid > 0, ends64[np.maximum(uid - 1, 0)], 0)
@@ -251,9 +256,11 @@ class MinimizerIndex:
         h = int(h)
         slots = (slot32(occ_key) >> np.uint32(32 - h)).astype(np.int64)
         counts = np.bincount(slots, minlength=1 << h) if occ_key.size else np.zeros(1 << h, np.int64)
-        starts = np.zeros(1 << h, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        desc = (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | counts.astype(np.uint32)
+        starts = np.zeros((1 << h) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        lens = np.minimum(counts, _LEN_MAX).astype(np.uint32)
+        desc = (starts[:-1].astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
+        desc = np.concatenate([desc, np.uint32(starts[-1] << _LEN_BITS)[None]])
         return MinimizerIndex(
             k=int(k), m=int(m), h=h, desc=desc, occ_key=occ_key.copy(),
             occ_gstart=occ_gstart.copy(), occ_uid=occ_uid.copy(),
@@ -283,10 +290,10 @@ class MinimizerIndex:
         o = int(np.argmin(mix32(mv)))
         v = int(mv[o])
         slot = int(slot32(np.uint32(v))) >> (32 - self.h)
-        d = int(self.desc[slot])
-        start, ln = d >> _LEN_BITS, d & _LEN_MAX
+        start = int(self.desc[slot]) >> _LEN_BITS
+        end = int(self.desc[slot + 1]) >> _LEN_BITS  # exact (cumsum starts)
         out = []
-        for i in range(start, min(start + ln, self.occ_key.size)):
+        for i in range(start, min(end, self.occ_key.size)):
             if int(self.occ_key[i]) != v:
                 continue  # hash-collision neighbor in the same slot
             g = int(self.occ_gstart[i]) - o

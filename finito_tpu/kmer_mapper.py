@@ -20,7 +20,7 @@ Semantics match the Rust binary:
   * extract-index-unitigs reproduces the stored records.
 
 Deviations (documented): the index file format is finito's own
-(FTMIDX01, index/minimizer.py) rather than Rust bincode; -m above 16 is
+(FTMIDX02, index/minimizer.py) rather than Rust bincode; -m above 16 is
 clamped (our hash-slot bucket table replaces boomphf's MPHF -- query
 answers are independent of m, it is purely a performance knob);
 -t is accepted for compatibility (the TPU path needs no host threads).
@@ -55,7 +55,7 @@ def build(argv: List[str]) -> int:
     p.add_argument("-t", "--nthreads", type=int, default=1, help="Number of threads (compatibility; unused)")
     p.add_argument("-o", "--outfile", required=True, help="Output index file")
     p.add_argument("-k", type=int, required=True, help="k-mer length")
-    p.add_argument("-m", type=int, default=None, help="minimizer length (default: auto; reference default max(1,k-6) is clamped to <= 13)")
+    p.add_argument("-m", type=int, default=None, help="minimizer length (default: auto; values above 16 are clamped)")
     args = p.parse_args(argv)
 
     from finito_tpu.io.fastx import read_all_records

@@ -274,17 +274,17 @@ class ShardedMinimizerIndex:
         slots = (slot32(mindex.occ_key) >> np.uint32(32 - h)).astype(np.int64)
         bounds = np.searchsorted(slots, np.arange(tp + 1) * V)
         per = int(max(1, (np.diff(bounds)).max()))
-        desc = np.zeros((tp, V), dtype=np.uint32)
+        desc = np.zeros((tp, V + 1), dtype=np.uint32)  # +1: next-slot-start pad
         occ_rows = np.zeros((tp, per, 4), dtype=np.int32)
         n_occ = np.zeros(tp, dtype=np.int32)
         rows_all = build_occ_rows(mindex)  # same layout as the 1-chip engine
         for s in range(tp):
             a, b = int(bounds[s]), int(bounds[s + 1])
             lo_s, hi_s = s * V, min(n_slots, (s + 1) * V)
-            d = np.asarray(mindex.desc[lo_s:hi_s], np.uint32)
+            d = np.asarray(mindex.desc[lo_s : hi_s + 1], np.uint32)  # incl. pad
             starts = (d >> np.uint32(_LEN_BITS)).astype(np.int64) - a  # rebase
             lens = d & np.uint32(_LEN_MAX)
-            desc[s, : hi_s - lo_s] = (
+            desc[s, : hi_s + 1 - lo_s] = (
                 (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
             )
             occ_rows[s, : b - a] = rows_all[a:b]
@@ -386,7 +386,9 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        s_end = s_start + jnp.take(ln.reshape(-1), safe)
+        # exact slot end = next slot's start (length field saturates)
+        s_slot = jnp.take(jnp.where(mine, local_s, 0).astype(jnp.int32).reshape(-1), safe)
+        s_end = (jnp.take(desc, s_slot + 1) >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 

@@ -300,30 +300,44 @@ class DeviceQueryEngine:
         lines = self.process_reads([read])
         return lines[0]
 
+    def _batch_both_strands(self, reads: Sequence[bytes]):
+        """Shared batching: encode, filter short/invalid reads, pad, and
+        stack forward + reverse-complement strands in ONE (2B, L) device
+        batch (rows B..2B-1 are the RC strand). Returns
+        (batch_idx, batch_codes, uid_b, off_b) with uid_b/off_b None when
+        every read was filtered."""
+        from finito_tpu.io.seqdb import encode_seq
+
+        k = self.k
+        batch_idx: List[int] = []
+        batch_codes: List[np.ndarray] = []
+        for i, read in enumerate(reads):
+            codes = encode_seq(read if isinstance(read, bytes) else read.encode())
+            if codes.size >= k and not np.any(codes == 255):
+                batch_idx.append(i)
+                batch_codes.append(codes)
+        if not batch_idx:
+            return batch_idx, batch_codes, None, None
+        L = max(c.size for c in batch_codes)
+        B = len(batch_codes)
+        both = np.full((2 * B, L), 255, dtype=np.uint8)
+        for j, c in enumerate(batch_codes):
+            both[j, : c.size] = c
+            both[B + j, : c.size] = (3 - c)[::-1]
+        uid_b, off_b = self.locate_batch(both)
+        return batch_idx, batch_codes, uid_b, off_b
+
     def locate_reads_arrays(self, reads: Sequence[bytes]):
         """Array-native batched fwd+RC localization: returns per read i
         either None (short/invalid read: empty result) or
         (uid_f, off_f, uid_r, off_r, n_found_f, n_found_r) with (W,)
         int arrays -- the zero-tuple-materialization path for bulk CLI
         output."""
-        from finito_tpu.io.seqdb import encode_seq
-
         k = self.k
         out = [None] * len(reads)
-        batch_idx, batch_codes = [], []
-        for i, read in enumerate(reads):
-            codes = encode_seq(read if isinstance(read, bytes) else read.encode())
-            if codes.size >= k and not np.any(codes == 255):
-                batch_idx.append(i)
-                batch_codes.append(codes)
-        if batch_idx:
-            L = max(c.size for c in batch_codes)
+        batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
+        if uid_b is not None:
             B = len(batch_codes)
-            both = np.full((2 * B, L), 255, dtype=np.uint8)
-            for j, c in enumerate(batch_codes):
-                both[j, : c.size] = c
-                both[B + j, : c.size] = (3 - c)[::-1]
-            uid_b, off_b = self.locate_batch(both)
             for j, i in enumerate(batch_idx):
                 n = batch_codes[j].size - k + 1
                 uf, of = uid_b[j, :n], off_b[j, :n]
@@ -336,41 +350,23 @@ class DeviceQueryEngine:
         return out
 
     def process_reads(self, reads: Sequence[bytes]) -> List[Tuple[QueryResult, QueryResult]]:
-        from finito_tpu.io.seqdb import encode_seq
-
         k = self.k
-        results: List[Tuple[QueryResult, QueryResult]] = [None] * len(reads)  # type: ignore
-        batch_idx: List[int] = []
-        batch_codes: List[np.ndarray] = []
-        for i, read in enumerate(reads):
-            codes = encode_seq(read if isinstance(read, bytes) else read.encode())
-            if codes.size < k or np.any(codes == 255):
-                # reference: short reads emit nothing; invalid reads return {}
-                results[i] = (QueryResult([], 0), QueryResult([], 0))
-            else:
-                batch_idx.append(i)
-                batch_codes.append(codes)
-        if batch_idx:
-            L = max(c.size for c in batch_codes)
+        # reference: short reads emit nothing; invalid reads return {}
+        results: List[Tuple[QueryResult, QueryResult]] = [
+            (QueryResult([], 0), QueryResult([], 0)) for _ in reads
+        ]
+        batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
+        if uid_b is not None:
             B = len(batch_codes)
-            # forward and reverse-complement strands stacked in ONE device
-            # batch (rows B..2B-1 are the RC strand)
-            both = np.full((2 * B, L), 255, dtype=np.uint8)
-            for j, c in enumerate(batch_codes):
-                both[j, : c.size] = c
-                both[B + j, : c.size] = (3 - c)[::-1]
-            uid_b, off_b = self.locate_batch(both)
-            uid_f, off_f = uid_b[:B], off_b[:B]
-            uid_r, off_r = uid_b[B:], off_b[B:]
             for j, i in enumerate(batch_idx):
                 n = batch_codes[j].size - k + 1
                 f = QueryResult(
-                    [(int(uid_f[j, w]), int(off_f[j, w])) for w in range(n)],
-                    int(np.count_nonzero(uid_f[j, :n] >= 0)),
+                    [(int(uid_b[j, w]), int(off_b[j, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_b[j, :n] >= 0)),
                 )
                 r = QueryResult(
-                    [(int(uid_r[j, w]), int(off_r[j, w])) for w in range(n)],
-                    int(np.count_nonzero(uid_r[j, :n] >= 0)),
+                    [(int(uid_b[B + j, w]), int(off_b[B + j, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_b[B + j, :n] >= 0)),
                 )
                 results[i] = (f, r)
         return results

@@ -320,7 +320,10 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        s_end = s_start + jnp.take(ln.reshape(-1), safe)
+        # exact slot end = next slot's start (the stored length saturates
+        # at 63 for repeat-heavy values)
+        s_slot = jnp.take(slot.reshape(-1), safe)
+        s_end = (jnp.take(dmi.desc, s_slot + 1) >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 

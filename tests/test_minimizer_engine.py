@@ -189,3 +189,45 @@ def test_minimizer_engine_large_k(k):
         f, _ = engine.search_fwd_rc(q)
         want = index.search(q)
         assert f.local_offsets == want.local_offsets, (k, q[:20])
+
+
+def test_repeat_heavy_text_saturated_slots():
+    """A minimizer value selected far more than 63 times (repeats) must
+    build and query exactly: the stored slot length saturates and the
+    slow path derives exact ends from the next slot's start. Regression:
+    the table-growth loop used to livelock (equal values share a slot at
+    any table size)."""
+    from finito_tpu.index.minimizer import mix32, pack_mvals
+
+    rng = np.random.default_rng(33)
+    k = 31
+    # a 16-mer with a tiny selection hash: it wins as minimizer wherever
+    # it appears; repeated 100x with fresh context so all 31-mers stay
+    # distinct (valid DSPSS) while one bucket holds ~100 occurrences
+    cands = rng.integers(0, 4, size=(4096, 16)).astype(np.uint8)
+    vals = np.array([pack_mvals(c, 16)[0] for c in cands])
+    M = decode_from_codes = cands[int(np.argmin(mix32(vals)))]
+    from finito_tpu.io.seqdb import decode_seq
+
+    M = decode_seq(M).decode()
+    while True:
+        text = "".join(
+            "".join(rng.choice(list("ACGT"), 40)) + M for _ in range(100)
+        )
+        kmers = {text[i : i + k] for i in range(len(text) - k + 1)}
+        if len(kmers) == len(text) - k + 1:
+            break
+    unitigs = [text]
+    index = build_index(unitigs, k)
+    mi = MinimizerIndex.from_finimizer_index(index)
+    assert int((mi.desc[:-1] & 63).max()) == 63, "fixture must saturate a slot"
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    queries = [
+        text[500:700].encode(),
+        ("".join(rng.choice(list("ACGT"), 20)) + M + "".join(rng.choice(list("ACGT"), 20))).encode(),
+        text[:200].encode(),
+    ]
+    for q in queries:
+        f, _ = engine.search_fwd_rc(q)
+        want = index.search(q)
+        assert f.local_offsets == want.local_offsets, q[:20]
