@@ -1,6 +1,6 @@
 """finito_tpu: a TPU-native finimizer engine.
 
-A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+A from-scratch JAX/XLA implementation of the capabilities of
 ElenaBiagi/Finito (reference: /root/reference): shortest-unique-finimizer
 (t=1 "rarest") k-mer localization indexes over spectrum-preserving string
 sets, built on a plain-matrix SBWT + LCS array, answering streaming

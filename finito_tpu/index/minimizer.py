@@ -38,8 +38,12 @@ Key layout choices:
   * selection order is mix32(value) ("random minimizers": removes the
     lexicographic small-value bias); the SLOT hash is a different mix
     (slot32) so slots are not skewed by the selection bias;
-  * desc[slot] = (start << 6) | len with len exact (<= 63; the build
-    grows the table until the densest slot fits).
+  * desc[slot] = (start << 6) | len, where the stored len SATURATES at
+    63 (a value repeated more often cannot be split by a bigger table
+    since equal values share a slot); saturation only affects the
+    fast/slow classification -- the slow path derives the EXACT slot
+    end from the next slot's start (slot starts are a cumsum, so
+    desc[slot+1] >> 6 is the exclusive end).
 """
 
 from __future__ import annotations
@@ -121,6 +125,12 @@ class MinimizerIndex:
         """
         concat = np.asarray(concat, dtype=np.uint8)
         ends64 = np.asarray(ends, dtype=np.int64)
+        if np.any(concat > 3):
+            # Non-ACGT codes would carry across 2-bit slots in
+            # pack_text_words and corrupt neighboring bases; the Rust
+            # reference likewise fails at build time
+            # (minimizer_index.rs:357 from_ascii().unwrap()).
+            raise ValueError("unitig text contains non-ACGT characters")
         n = concat.size
         if m is None:
             m = default_m(k, n)

@@ -87,7 +87,10 @@ def build(argv: List[str]) -> int:
 
 def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
     """Batched accelerator lookups. Returns per-read lists of (u, p) with
-    the fwd/RC merge; raises on fwd+RC conflicts (multi-occurrence)."""
+    the fwd/RC merge; exits with the reference's 'occurs in N unitigs'
+    error whenever a k-mer's TOTAL occurrence count exceeds 1 -- including
+    forward-only duplicates and regardless of -r (main.rs:89-92) -- using
+    the engine's exact per-window occurrence counter."""
     from finito_tpu.utils import configure_jax_platform
 
     configure_jax_platform()
@@ -107,10 +110,10 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
         while True:
             key = (K, B, L)
             if key not in cache:
-                cache[key] = make_minimizer_locate(dmi, K)
-            uid, off, n_slow = cache[key](codes)
+                cache[key] = make_minimizer_locate(dmi, K, count_occurrences=True)
+            uid, off, n_slow, cnt = cache[key](codes)
             if int(n_slow) <= K:
-                return np.asarray(uid), np.asarray(off)
+                return np.asarray(uid), np.asarray(off), np.asarray(cnt)
             K = min(B * W, K * 4)
 
     answers = []
@@ -132,29 +135,32 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
         for j, c in enumerate(batch_codes):
             fwd[j, : c.size] = c
             rcm[j, : c.size] = (3 - c)[::-1]
-        uid_f, off_f = locate_batch(fwd)
+        uid_f, off_f, cnt_f = locate_batch(fwd)
         if rc:
-            uid_r, off_r = locate_batch(rcm)
+            uid_r, off_r, cnt_r = locate_batch(rcm)
         for j, i in enumerate(batch_idx):
             n = batch_codes[j].size - k + 1
             u = uid_f[j, :n].astype(np.int64)
             o = off_f[j, :n].astype(np.int64)
+            total = cnt_f[j, :n].astype(np.int64)
             if rc:
                 ur = uid_r[j, :n][::-1].astype(np.int64)
                 orr = off_r[j, :n][::-1].astype(np.int64)
                 w_mat = np.lib.stride_tricks.sliding_window_view(batch_codes[j], k)
                 self_rc = np.all(w_mat == (3 - w_mat)[:, ::-1], axis=1)
+                total = total + np.where(self_rc, 0, cnt_r[j, :n][::-1].astype(np.int64))
                 rc_hit = (ur != -1) & ~self_rc
-                conflict = rc_hit & (u != -1)
-                if np.any(conflict):
-                    from finito_tpu.io.seqdb import decode_seq
+                u = np.where(rc_hit & (u == -1), ur, u)
+                o = np.where(rc_hit & (o == -1), orr, o)
+            if np.any(total > 1):
+                from finito_tpu.io.seqdb import decode_seq
 
-                    w = int(np.flatnonzero(conflict)[0])
-                    kmer = decode_seq(batch_codes[j][w : w + k]).decode()
-                    sys.stderr.write(f"Error: k-mer {kmer} occurs in 2 unitigs\n")
-                    raise SystemExit(1)
-                u = np.where(rc_hit, ur, u)
-                o = np.where(rc_hit, orr, o)
+                w = int(np.flatnonzero(total > 1)[0])
+                kmer = decode_seq(batch_codes[j][w : w + k]).decode()
+                sys.stderr.write(
+                    f"Error: k-mer {kmer} occurs in {int(total[w])} unitigs\n"
+                )
+                raise SystemExit(1)
             answers[i] = list(zip(u.tolist(), o.tolist()))
     return answers
 

@@ -238,6 +238,8 @@ class DeviceQueryEngine:
 
             pipe.K = K
             return pipe
+        if self.mode not in ("dense", "stream"):
+            raise ValueError(f"no device pipeline for mode {self.mode}")
         uid_table, off_table = self.uid_table, self.off_table
         if self.mode == "dense":
             dsbwt = self.dsbwt

@@ -240,7 +240,7 @@ def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
     return match, uid, off_w
 
 
-def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
+def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurrences: bool = False):
     """Returns a JITTED locate: (B, L) codes -> ((B, W) uid, off, n_slow).
 
     The index pytree rides as a jit ARGUMENT (constants embedded in the
@@ -248,6 +248,13 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
     the compacted multi-occurrence windows resolved on device; results
     are valid only when n_slow <= K_slow (caller re-runs with a larger
     bound otherwise -- same contract as the stream engine).
+
+    With count_occurrences=True a fourth output gives the EXACT number of
+    text occurrences of each window's k-mer (all occurrences of one k-mer
+    share its minimizer value and therefore its slot, so the slot scan
+    sees every one): the device twin of the Rust reference's
+    multi-occurrence error check (main.rs:89-92). The slow-path scan then
+    always runs to the slot end instead of early-exiting on first hit.
     """
     k, m = dmi.k, dmi.m
     R = k - m + 1
@@ -328,29 +335,47 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int):
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 
         def cond(st):
-            i, uid, off, done = st
+            i, uid, off, cnt, done = st
             return jnp.any(~done)
 
         def body(st):
-            i, uid, off, done = st
-            in_range = (i < s_end) & (i < n_occ)
+            i, uid, off, cnt, done = st
+            in_range = ~done & (i < s_end) & (i < n_occ)
             ci = jnp.where(in_range, i, 0)
             match, uid_c, off_c = _check_candidate(dmi, ci, s_o, s_qw, masks, k)
-            hit = ~done & in_range & match
-            uid = jnp.where(hit, uid_c, uid)
-            off = jnp.where(hit, off_c, off)
-            done = done | hit | (i + 1 >= s_end)
-            return i + 1, uid, off, done
+            hit = in_range & match
+            first = hit & (cnt == 0)
+            uid = jnp.where(first, uid_c, uid)
+            off = jnp.where(first, off_c, off)
+            cnt = cnt + hit.astype(jnp.int32)
+            if not count_occurrences:
+                done = done | hit
+            done = done | (i + 1 >= s_end) | (i + 1 >= n_occ)
+            return i + 1, uid, off, cnt, done
 
         i0 = s_start
         uid_s = jnp.full((K_slow,), -1, jnp.int32)
         off_s = jnp.full((K_slow,), -1, jnp.int32)
-        _, uid_s, off_s, _ = lax.while_loop(cond, body, (i0, uid_s, off_s, ~valid))
+        cnt_s = jnp.zeros((K_slow,), jnp.int32)
+        _, uid_s, off_s, cnt_s, _ = lax.while_loop(
+            cond, body, (i0, uid_s, off_s, cnt_s, ~valid)
+        )
 
         BW = uid.size
-        uid = uid.reshape(-1).at[jnp.where(valid, flat_idx, BW)].set(uid_s, mode="drop")
-        off = off.reshape(-1).at[jnp.where(valid, flat_idx, BW)].set(off_s, mode="drop")
-        return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow
+        scat = jnp.where(valid, flat_idx, BW)
+        uid = uid.reshape(-1).at[scat].set(uid_s, mode="drop")
+        off = off.reshape(-1).at[scat].set(off_s, mode="drop")
+        if not count_occurrences:
+            return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow
+        cnt = found_f.astype(jnp.int32)  # exact: an ln==1 slot holds the
+        # k-mer's only possible occurrence (equal values share a slot)
+        cnt = cnt.reshape(-1).at[scat].set(cnt_s, mode="drop")
+        return (
+            uid.reshape(best_v.shape),
+            off.reshape(best_v.shape),
+            n_slow,
+            cnt.reshape(best_v.shape),
+        )
 
     jrun = jax.jit(run)
 

@@ -78,8 +78,10 @@ def test_query_rc_merge(example_index, tmp_path, extra):
     assert r.stdout.splitlines()[0] == "(0,4) (0,3) (0,2) (0,1) (0,0)"
 
 
-def test_query_multioccurrence_error(tmp_path):
+@pytest.mark.parametrize("extra", [(), ("--host-exact",)])
+def test_query_multioccurrence_error(tmp_path, extra):
     # the k-mer ACGT occurs in two unitigs -> reference errors out
+    # (main.rs:89-92), with or without -r, on both query paths
     u = tmp_path / "u.fna"
     u.write_text(">1\nACGTA\n>2\nCACGT\n")
     p = str(tmp_path / "idx")
@@ -87,9 +89,38 @@ def test_query_multioccurrence_error(tmp_path):
     assert r.returncode == 0, r.stderr
     q = tmp_path / "q.fna"
     q.write_text(">q\nACGT\n")
-    r = run_cmd(["query", "-i", p, "-q", str(q), "--host-exact"])
+    r = run_cmd(["query", "-i", p, "-q", str(q), *extra])
     assert r.returncode == 1
     assert "occurs in 2 unitigs" in r.stderr
+
+
+@pytest.mark.parametrize("extra", [(), ("--host-exact",)])
+def test_query_forward_duplicate_error(tmp_path, extra):
+    # forward-only duplicate WITHIN one unitig: the reference counts
+    # total occurrences, so this errors too, even without -r
+    u = tmp_path / "u.fna"
+    u.write_text(">1\nAACGTTTAACGTC\n")
+    p = str(tmp_path / "idx")
+    r = run_cmd(["build", "-u", str(u), "-k", "5", "-o", p])
+    assert r.returncode == 0, r.stderr
+    q = tmp_path / "q.fna"
+    q.write_text(">q\nAACGT\n")
+    r = run_cmd(["query", "-i", p, "-q", str(q), *extra])
+    assert r.returncode == 1
+    assert "occurs in 2 unitigs" in r.stderr
+    # a unique k-mer from the same index still answers fine
+    q.write_text(">q\nCGTTT\n")
+    r = run_cmd(["query", "-i", p, "-q", str(q), *extra])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines()[0] == "(0,2)"
+
+
+def test_build_rejects_non_acgt(tmp_path):
+    u = tmp_path / "u.fna"
+    u.write_text(">1\nACGTNACGT\n")
+    r = run_cmd(["build", "-u", str(u), "-k", "4", "-o", str(tmp_path / "idx")])
+    assert r.returncode != 0
+    assert "non-ACGT" in (r.stderr + r.stdout)
 
 
 def test_extract_index_unitigs(example_index, tmp_path):
