@@ -8,9 +8,11 @@ cross-unitig "last larger local end wins" canonical-occurrence rule
 (FinimizerIndex.hh:370-378), so that the construction fixtures in
 /root/reference/src/tests.cpp:62-84 are reproduced bit-exactly.
 
-A batched device-side builder (vmapped scans over length-bucketed unitig
-batches) lives in finito_tpu.ops; its output is tested against this
-oracle.
+The production path is `_build_fast`: a fully vectorized pipeline
+(closed-form candidates + O(n) native window minimum + one scatter-max)
+whose output is tested against this oracle; its sort/merge/deque hot
+loops run in native C++ (finito_tpu/native/sort_native.cpp) with NumPy
+fallbacks.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ from __future__ import annotations
 from typing import Set, Tuple
 
 import numpy as np
+
+from finito_tpu import native
 
 from finito_tpu.index.packed_strings import PackedStrings, permute_unitigs
 from finito_tpu.io.seqdb import SeqDB
@@ -159,15 +163,11 @@ class FinimizerIndexBuilder:
                 # no device round-trip (the big win at genome scale).
                 from finito_tpu.sbwt import keys as kw
 
-                wkeys = []
-                start_u = 0
-                for e in ends:
-                    e = int(e)
-                    if e - start_u >= k:
-                        wkeys.append(kw.pack_windows(concat[start_u:e], k))
-                    start_u = e
-                wk = kw.concat(wkeys) if wkeys else kw.empty(len(node_keys))
+                # pack every concat window in one rolling pass, then keep
+                # the in-unitig ones (vpos)
+                wk = kw.take(kw.pack_windows(concat, k), vpos)
                 ranks = kw.match_into(wk, node_keys)
+                del wk
             else:
                 # fallback: batched SBWT search (accelerator if available)
                 rank_chunk = None
@@ -233,11 +233,16 @@ class FinimizerIndexBuilder:
             uid = np.searchsorted(ends, pos, side="right")
             wvalid = pos + k <= ends[uid]
             ws = pos[wvalid]  # global window starts
-            fin_key = np.full(ws.size, BIGKEY, dtype=np.int64)
-            for r in range(k):
-                ck = cand_key[ws + r] | r
-                ck = np.where((ck >> 48) <= r + 1, ck, BIGKEY)
-                np.minimum(fin_key, ck, out=fin_key)
+            fin_key = native.window_min(cand_key, ends, k, int(BIGKEY))
+            if fin_key is None:
+                # Python fallback: k passes of the packed-tuple minimum
+                # (the native path is the O(n) monotone deque)
+                fin_key = np.full(ws.size, BIGKEY, dtype=np.int64)
+                for r in range(k):
+                    ck = cand_key[ws + r] | r
+                    ck = np.where((ck >> 48) <= r + 1, ck, BIGKEY)
+                    np.minimum(fin_key, ck, out=fin_key)
+            assert fin_key.size == ws.size
             fin_len = fin_key >> 48
             fin_colex = (fin_key >> 8) & ((1 << 40) - 1)
             fin_r = fin_key & 0xFF
@@ -267,24 +272,22 @@ class FinimizerIndexBuilder:
             raise ValueError("build: input too large for the scatter-max key encoding")
         key = np.where(local_end > 0, (local_end << 33) | (M33 - order), order)
         best = np.full(n_nodes, -1, dtype=np.int64)
-        np.maximum.at(best, fin_colex, key)
-        fmin_bv[np.unique(fin_colex)] = 1
+        if not native.scatter_max(best, fin_colex, key):
+            np.maximum.at(best, fin_colex, key)
+        fmin_bv[fin_colex] = 1
         winner = key == best[fin_colex]
         # several windows can share (colex, local_end, order)? order is
         # unique, so at most one winner per colex.
         global_offsets[fin_colex[winner]] = g_end[winner].astype(np.uint64)
 
-        # stats set via one int64 unique (freq is 1 except the sentinel)
+        # stats set via one int64 unique (freq is 1 except the sentinel);
+        # kept packed -- a Python set of tuples costs ~100 bytes/entry,
+        # untenable at genome scale (up to n_nodes entries)
         packed = (fin_len << 41) | (fin_colex << 1) | none_mask.astype(np.int64)
-        uniq = np.unique(packed)
-        sent = (uniq & 1) == 1
-        return set(
-            zip(
-                (uniq >> 41).tolist(),
-                np.where(sent, n_nodes, 1).tolist(),
-                ((uniq >> 1) & ((1 << 40) - 1)).tolist(),
-            )
-        )
+        uniq = native.unique_sorted_i64(packed)
+        if uniq is None:
+            uniq = np.unique(packed)
+        return FinimizerStatsSet(uniq, n_nodes)
 
     def add_sequence(
         self,
@@ -352,13 +355,76 @@ class FinimizerIndexBuilder:
         return self._index
 
 
+class FinimizerStatsSet:
+    """Array-backed set of (len, freq, colex) finimizer stats tuples.
+
+    `_build_fast` yields up to n_nodes distinct tuples; a Python set of
+    tuples costs ~100 bytes/entry (tens of GB at genome scale), so the
+    packed int64 form ((len << 41) | (colex << 1) | sentinel) is kept and
+    set semantics -- len, iteration, equality against real sets (used by
+    the oracle cross-tests) -- are provided on top. freq is 1 for every
+    real finimizer; the sentinel (no-candidate window, impossible for a
+    valid t=1 DSPSS) carries freq = n_nodes like the reference's empty-
+    deque fallback (FinimizerIndex.hh:352)."""
+
+    __slots__ = ("packed", "n_nodes")
+
+    def __init__(self, packed: np.ndarray, n_nodes: int):
+        self.packed = np.asarray(packed, dtype=np.int64)
+        self.n_nodes = int(n_nodes)
+
+    def _tuple(self, v: int):
+        return (
+            int(v >> 41),
+            self.n_nodes if (v & 1) else 1,
+            int((v >> 1) & ((1 << 40) - 1)),
+        )
+
+    def __len__(self) -> int:
+        return int(self.packed.size)
+
+    def __iter__(self):
+        return (self._tuple(v) for v in self.packed.tolist())
+
+    def __contains__(self, t) -> bool:
+        ln, freq, colex = t
+        sent = 1 if freq != 1 else 0
+        v = (int(ln) << 41) | (int(colex) << 1) | sent
+        i = int(np.searchsorted(self.packed, v))
+        return i < self.packed.size and int(self.packed[i]) == v and (
+            freq == 1 or freq == self.n_nodes
+        )
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, FinimizerStatsSet):
+            return self.n_nodes == other.n_nodes and np.array_equal(
+                self.packed, other.packed
+            )
+        if isinstance(other, (set, frozenset)):
+            return len(self) == len(other) and all(t in other for t in self)
+        return NotImplemented
+
+    __hash__ = None  # mutable ndarray inside
+
+    def stats_sums(self):
+        """(count, sum_freq, sum_len) without materializing tuples."""
+        n = int(self.packed.size)
+        n_sent = int((self.packed & 1).sum())
+        sum_freq = (n - n_sent) + n_sent * self.n_nodes
+        sum_len = int((self.packed >> 41).sum())
+        return n, sum_freq, sum_len
+
+
 def finimizer_stats_string(finimizers, n_kmers: int) -> str:
     """CSV stats line: count,sum_freq,avg_freq,avg_len,n_kmers
     (ref: /root/reference/include/common.hh:188-206; tuples are
     (len, freq, colex))."""
-    n = len(finimizers)
-    sum_freq = sum(x[1] for x in finimizers)
-    sum_len = sum(x[0] for x in finimizers)
+    if hasattr(finimizers, "stats_sums"):
+        n, sum_freq, sum_len = finimizers.stats_sums()
+    else:
+        n = len(finimizers)
+        sum_freq = sum(x[1] for x in finimizers)
+        sum_len = sum(x[0] for x in finimizers)
     avg_freq = np.float32(sum_freq) / np.float32(n) if n else float("nan")
     avg_len = np.float32(sum_len) / np.float32(n) if n else float("nan")
     return f"{n},{sum_freq},{avg_freq:.6f},{avg_len:.6f},{n_kmers}"

@@ -77,6 +77,20 @@ def slot32(v):
     return _mulmix(v, _MIX2, 13)
 
 
+def _pack_desc(counts: np.ndarray) -> np.ndarray:
+    """(2^h + 1,) slot descriptors: start << 6 | min(len, 63); the extra
+    last entry carries the total (exclusive end of the last slot, how the
+    slow path derives exact ends for saturated lengths). uint32 while the
+    start fits in 26 bits, uint64 beyond (< 2^26 occurrences was the
+    round-1 cap; genome-scale indexes pay 8-byte descriptor gathers)."""
+    starts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    dt = np.uint32 if int(starts[-1]) < (1 << (32 - _LEN_BITS)) else np.uint64
+    lens = np.minimum(counts, _LEN_MAX).astype(dt)
+    desc = (starts[:-1].astype(dt) << dt(_LEN_BITS)) | lens
+    return np.concatenate([desc, np.asarray([starts[-1] << _LEN_BITS], dtype=dt)])
+
+
 def default_m(k: int, text_len: int) -> int:
     """m = 16 packs exactly into uint32 and keeps minimizer density
     ~2/(k-m+2); the hash-slot table makes bigger m pointless and smaller
@@ -136,39 +150,46 @@ class MinimizerIndex:
             m = default_m(k, n)
         if m > k:
             m = k
+        if n >= (1 << 31):
+            raise ValueError(
+                "unitig text exceeds int32 device addressing (2^31 bases); "
+                "shard the index over the tp mesh axis"
+            )
         mv = pack_mvals(concat, m)
         hv = mix32(mv)  # selection order; bucket addressing stays on mv
         R = k - m + 1
 
-        occ_positions: list[np.ndarray] = []
-        start = 0
-        for e in ends64:
-            e = int(e)
-            if e - start >= k:
-                seg = hv[start : e - m + 1]
-                # windows s in [start, e-k]: leftmost-lowest over R shifted
-                # views (iterative strict-< min keeps the leftmost; ~R
-                # vectorized passes, vastly faster than argmin on a
-                # strided sliding_window_view at genome scale)
-                n_w = e - k + 1 - start
-                best = seg[:n_w].copy()
-                j = np.zeros(n_w, dtype=np.int64)
-                for r in range(1, R):
-                    cand = seg[r : r + n_w]
-                    upd = cand < best
-                    best[upd] = cand[upd]
-                    j[upd] = r
-                occ_positions.append(np.arange(start, e - k + 1, dtype=np.int64) + j)
-            start = e
+        from finito_tpu import native
 
-        if occ_positions:
-            pos = np.unique(np.concatenate(occ_positions))
-        else:
-            pos = np.zeros(0, dtype=np.int64)
+        pos = native.minimizer_positions(hv, ends64, k, m)
+        if pos is None:
+            occ_positions: list[np.ndarray] = []
+            start = 0
+            for e in ends64:
+                e = int(e)
+                if e - start >= k:
+                    seg = hv[start : e - m + 1]
+                    # windows s in [start, e-k]: leftmost-lowest over R
+                    # shifted views (iterative strict-< min keeps the
+                    # leftmost; ~R vectorized passes, vastly faster than
+                    # argmin on a strided sliding_window_view); the native
+                    # path is the O(n) monotone deque
+                    n_w = e - k + 1 - start
+                    best = seg[:n_w].copy()
+                    j = np.zeros(n_w, dtype=np.int64)
+                    for r in range(1, R):
+                        cand = seg[r : r + n_w]
+                        upd = cand < best
+                        best[upd] = cand[upd]
+                        j[upd] = r
+                    occ_positions.append(np.arange(start, e - k + 1, dtype=np.int64) + j)
+                start = e
+            if occ_positions:
+                pos = np.unique(np.concatenate(occ_positions))
+            else:
+                pos = np.zeros(0, dtype=np.int64)
 
         key = mv[pos] if pos.size else np.zeros(0, dtype=np.uint32)
-        if pos.size >= (1 << 26):
-            raise ValueError("occurrence list exceeds 2^26; shard the index")
 
         # hash-slot table ~32x the occurrence count: the slow-window
         # fraction is ~the window-weighted load factor (A/B-measured
@@ -176,24 +197,14 @@ class MinimizerIndex:
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
         h = max(4, min(28, int(np.ceil(np.log2(max(16, 32 * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
-        order = np.lexsort((key, slots))
+        order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
+        if order is None:
+            order = np.lexsort((key, slots))
         key = key[order]
         pos = pos[order]
         slots = slots[order]
         counts = np.bincount(slots, minlength=1 << h) if key.size else np.zeros(1 << h, np.int64)
-
-        # desc has 2^h + 1 entries; the stored length SATURATES at 63 (a
-        # value selected >63 times -- repeats -- cannot be split by a
-        # bigger table since equal values share a slot). Saturation only
-        # affects the fast/slow classification; the slow path derives the
-        # EXACT slot end from the next slot's start (starts are a cumsum).
-        starts = np.zeros((1 << h) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        lens = np.minimum(counts, _LEN_MAX).astype(np.uint32)
-        desc = (starts[:-1].astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
-        desc = np.concatenate(
-            [desc, np.uint32(starts[-1] << _LEN_BITS)[None]]
-        )
+        desc = _pack_desc(counts)
 
         uid = np.searchsorted(ends64, pos, side="right").astype(np.int64)
         ustart = np.where(uid > 0, ends64[np.maximum(uid - 1, 0)], 0)
@@ -266,11 +277,7 @@ class MinimizerIndex:
         h = int(h)
         slots = (slot32(occ_key) >> np.uint32(32 - h)).astype(np.int64)
         counts = np.bincount(slots, minlength=1 << h) if occ_key.size else np.zeros(1 << h, np.int64)
-        starts = np.zeros((1 << h) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        lens = np.minimum(counts, _LEN_MAX).astype(np.uint32)
-        desc = (starts[:-1].astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
-        desc = np.concatenate([desc, np.uint32(starts[-1] << _LEN_BITS)[None]])
+        desc = _pack_desc(counts)
         return MinimizerIndex(
             k=int(k), m=int(m), h=h, desc=desc, occ_key=occ_key.copy(),
             occ_gstart=occ_gstart.copy(), occ_uid=occ_uid.copy(),

@@ -19,7 +19,10 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fastx_native.cpp")
+_SRCS = [
+    os.path.join(_HERE, "fastx_native.cpp"),
+    os.path.join(_HERE, "sort_native.cpp"),
+]
 _SO = os.path.join(_HERE, "libfinito_native.so")
 
 _lock = threading.Lock()
@@ -30,7 +33,7 @@ _tried = False
 def _compile() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO,
+        *_SRCS, "-o", _SO,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
@@ -55,7 +58,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS
+        ):
             if not _compile():
                 return None
         try:
@@ -65,6 +70,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64 = ctypes.c_int64
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.ftx_parse.restype = ctypes.c_int
         lib.ftx_parse.argtypes = [u8p, i64, u8p, i64p, u8p, i64p, i64p]
         lib.ftx_bounds.restype = None
@@ -73,6 +80,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ftx_encode.argtypes = [u8p, i64, u8p]
         lib.ftx_revcomp_codes.restype = None
         lib.ftx_revcomp_codes.argtypes = [u8p, i64, u8p]
+        lib.fin_radix_argsort.restype = None
+        lib.fin_radix_argsort.argtypes = [u64p, i64, i64, i64, i64p, u64p]
+        lib.fin_merge_join.restype = None
+        lib.fin_merge_join.argtypes = [u64p, i64, u64p, i64, i64, i64p]
+        lib.fin_pack_windows.restype = None
+        lib.fin_pack_windows.argtypes = [u8p, i64, i64, u64p]
+        lib.fin_window_min.restype = None
+        lib.fin_window_min.argtypes = [i64p, i64p, i64, i64, i64, i64p]
+        lib.fin_minimizer_positions.restype = i64
+        lib.fin_minimizer_positions.argtypes = [u32p, i64p, i64, i64, i64, i64p]
+        lib.fin_lower_bound.restype = None
+        lib.fin_lower_bound.argtypes = [u64p, i64, u64p, i64, i64, i64p]
+        lib.fin_scatter_max.restype = None
+        lib.fin_scatter_max.argtypes = [i64p, i64p, i64p, i64]
         _lib = lib
         return _lib
 
@@ -132,3 +153,186 @@ def parse_fastx_bytes(data: bytes):
         headers.append(hdr_blob[prev:int(e)])
         prev = int(e)
     return codes, seq_ends, headers
+
+
+# ------------------------------------------------------------------ sort
+
+
+def _u64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def radix_argsort(words, used_bits: int, want_keys: bool = False):
+    """Stable ascending argsort of multiword keys (list of W uint64
+    arrays, least-significant first). Returns idx, or (idx, sorted_words)
+    with want_keys. None when the native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    W = len(words)
+    n = int(words[0].size)
+    stacked = np.ascontiguousarray(np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in words]))
+    idx = np.empty(n, dtype=np.int64)
+    if want_keys:
+        keys_out = np.empty((W, n), dtype=np.uint64)
+        lib.fin_radix_argsort(_u64p(stacked), n, W, used_bits, _i64p(idx), _u64p(keys_out))
+        return idx, [keys_out[w] for w in range(W)]
+    lib.fin_radix_argsort(
+        _u64p(stacked), n, W, used_bits, _i64p(idx),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return idx
+
+
+def merge_join(A_sorted, B_sorted_unique):
+    """Index in B of each key of A (both sorted, same W), -1 if absent."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    W = len(A_sorted)
+    nA, nB = int(A_sorted[0].size), int(B_sorted_unique[0].size)
+    A = np.ascontiguousarray(np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in A_sorted]))
+    B = np.ascontiguousarray(np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in B_sorted_unique]))
+    out = np.empty(nA, dtype=np.int64)
+    lib.fin_merge_join(_u64p(A), nA, _u64p(B), nB, W, _i64p(out))
+    return out
+
+
+def pack_windows(codes, k: int):
+    """All k-windows of a 2-bit code sequence as 3-bit multiword keys
+    (list of W uint64 arrays), or None without the native library."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = int(codes.size)
+    nw = n - k + 1
+    W = (3 * k + 63) // 64
+    if nw <= 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in range(W)]
+    out = np.empty((W, nw), dtype=np.uint64)
+    lib.fin_pack_windows(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, k, _u64p(out)
+    )
+    return [out[w] for w in range(W)]
+
+
+def window_min(cand_key, ends, k: int, bigkey: int):
+    """The builder's validity-constrained sliding candidate minimum (see
+    sort_native.cpp fin_window_min); returns one int64 fin key per valid
+    window (windows not crossing a unitig boundary, unitig-major order)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cand_key = np.ascontiguousarray(cand_key, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    lens = np.diff(np.concatenate([[0], ends]))
+    n_windows = int(np.maximum(lens - k + 1, 0).sum())
+    out = np.empty(n_windows, dtype=np.int64)
+    lib.fin_window_min(_i64p(cand_key), _i64p(ends), int(ends.size), k, bigkey, _i64p(out))
+    return out
+
+
+def lower_bound(A_sorted, B_sorted):
+    """Number of B keys strictly below each A key (both sorted, same W)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    W = len(A_sorted)
+    nA, nB = int(A_sorted[0].size), int(B_sorted[0].size)
+    A = np.ascontiguousarray(np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in A_sorted]))
+    B = np.ascontiguousarray(np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in B_sorted]))
+    out = np.empty(nA, dtype=np.int64)
+    lib.fin_lower_bound(_u64p(A), nA, _u64p(B), nB, W, _i64p(out))
+    return out
+
+
+def scatter_max(best, idx, key) -> bool:
+    """best[idx[i]] = max(best[idx[i]], key[i]), in place (int64 arrays).
+    Returns False (caller falls back to np.maximum.at) without the lib."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert best.dtype == np.int64 and best.flags.c_contiguous
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    lib.fin_scatter_max(_i64p(best), _i64p(idx), _i64p(key), int(idx.size))
+    return True
+
+
+def argsort_u64(vals):
+    """Stable ascending argsort of one uint64 array via the native radix,
+    or None without the library."""
+    import numpy as np
+
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    lib = get_lib()
+    if lib is None or vals.size == 0:
+        return None if lib is None else np.zeros(0, dtype=np.int64)
+    hi = int(vals.max())
+    idx = np.empty(vals.size, dtype=np.int64)
+    lib.fin_radix_argsort(
+        _u64p(vals), int(vals.size), 1, max(1, hi.bit_length()), _i64p(idx),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return idx
+
+
+def unique_sorted_i64(vals):
+    """Sorted unique values of a NON-NEGATIVE int64 array (radix-backed),
+    or None without the library."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    if vals.size == 0:
+        return vals.copy()
+    u = vals.view(np.uint64)
+    hi = int(u.max())
+    idx = np.empty(vals.size, dtype=np.int64)
+    keys_out = np.empty((1, vals.size), dtype=np.uint64)
+    lib.fin_radix_argsort(
+        _u64p(u.reshape(1, -1)), int(vals.size), 1, max(1, hi.bit_length()),
+        _i64p(idx), _u64p(keys_out),
+    )
+    s = keys_out[0].view(np.int64)
+    keep = np.ones(s.size, dtype=bool)
+    keep[1:] = s[1:] != s[:-1]
+    return s[keep]
+
+
+def minimizer_positions(hv, ends, k: int, m: int):
+    """Deduplicated leftmost-lowest minimizer positions over all valid
+    windows (ascending), or None without the native library."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    hv = np.ascontiguousarray(hv, dtype=np.uint32)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    # every emitted position is distinct, bounded by the m-mer count
+    out = np.empty(max(1, hv.size), dtype=np.int64)
+    n = lib.fin_minimizer_positions(
+        hv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i64p(ends), int(ends.size), k, m, _i64p(out),
+    )
+    return out[:n].copy()

@@ -1,0 +1,259 @@
+// Native host-side build kernels: radix argsort over multiword keys,
+// sorted merge-join, rolling window packing, and the builder's
+// validity-constrained sliding window minimum.
+//
+// Rationale: the host build pipeline (SBWT construction + finimizer
+// selection, see finito_tpu/sbwt/construct.py and index/builder.py) is
+// sort-bound, and this box has ONE core -- numpy's argsort/lexsort are
+// comparison sorts with indirection (~40s per 50M argsort) while an LSD
+// radix over 16-bit digits streams memory at copy speed. These kernels
+// make genome-scale (>= 100 Mbp) index builds practical on the host; the
+// accelerator path stays JAX (finito_tpu/ops). Python fallbacks in
+// finito_tpu/sbwt/keys.py implement identical semantics (differentially
+// tested).
+//
+// Key layout: a set of n W-word keys is word-major (words[w*n + i] =
+// word w of key i), least-significant word first -- matching the list-
+// of-arrays layout of finito_tpu/sbwt/keys.py.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int key_compare(const uint64_t* A, int64_t nA, int64_t i,
+                       const uint64_t* B, int64_t nB, int64_t j, int64_t W) {
+    for (int64_t w = W - 1; w >= 0; w--) {
+        uint64_t a = A[w * nA + i], b = B[w * nB + j];
+        if (a < b) return -1;
+        if (a > b) return 1;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stable LSD radix argsort of n W-word keys. used_bits caps the digit
+// count (pass 3*k for 3-bit-packed length-k rows). idx_out: int64[n].
+// keys_out (optional, may be null): the sorted keys, word-major, so the
+// caller skips a separate fancy-index gather.
+void fin_radix_argsort(const uint64_t* words, int64_t n, int64_t W,
+                       int64_t used_bits, int64_t* idx_out,
+                       uint64_t* keys_out) {
+    if (n <= 0) return;
+    const int64_t R = W + 1;  // record: W key words + original index
+    std::vector<uint64_t> abuf((size_t)n * R), bbuf((size_t)n * R);
+    uint64_t* a = abuf.data();
+    uint64_t* b = bbuf.data();
+    for (int64_t i = 0; i < n; i++) {
+        for (int64_t w = 0; w < W; w++) a[i * R + w] = words[w * n + i];
+        a[i * R + W] = (uint64_t)i;
+    }
+    if (used_bits > 64 * W) used_bits = 64 * W;
+    const int n_digits = (int)((used_bits + 15) / 16);
+
+    // One sweep computes every pass's histogram up front.
+    std::vector<int64_t> hist((size_t)n_digits * 65536, 0);
+    for (int64_t i = 0; i < n; i++) {
+        for (int d = 0; d < n_digits; d++) {
+            const int w = d >> 2, sh = (d & 3) << 4;
+            hist[(size_t)d * 65536 + ((a[i * R + w] >> sh) & 0xFFFF)]++;
+        }
+    }
+
+    uint64_t* src = a;
+    uint64_t* dst = b;
+    for (int d = 0; d < n_digits; d++) {
+        int64_t* h = hist.data() + (size_t)d * 65536;
+        const int w = d >> 2, sh = (d & 3) << 4;
+        // skip single-bucket passes (constant digit)
+        const uint64_t first_dig = (src[0 * R + w] >> sh) & 0xFFFF;
+        if (h[first_dig] == n) continue;
+        int64_t sum = 0;
+        for (int j = 0; j < 65536; j++) {
+            int64_t c = h[j];
+            h[j] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; i++) {
+            const uint64_t dig = (src[i * R + w] >> sh) & 0xFFFF;
+            uint64_t* out = dst + h[dig]++ * R;
+            const uint64_t* in = src + i * R;
+            for (int64_t t = 0; t < R; t++) out[t] = in[t];
+        }
+        uint64_t* tmp = src;
+        src = dst;
+        dst = tmp;
+    }
+    for (int64_t i = 0; i < n; i++) idx_out[i] = (int64_t)src[i * R + W];
+    if (keys_out) {
+        for (int64_t i = 0; i < n; i++)
+            for (int64_t w = 0; w < W; w++) keys_out[w * n + i] = src[i * R + w];
+    }
+}
+
+// For each key of sorted A (duplicates allowed), the index of an equal
+// key in sorted unique B, or -1. Linear two-pointer merge.
+void fin_merge_join(const uint64_t* A, int64_t nA, const uint64_t* B,
+                    int64_t nB, int64_t W, int64_t* out) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < nA; i++) {
+        while (j < nB && key_compare(B, nB, j, A, nA, i, W) < 0) j++;
+        out[i] = (j < nB && key_compare(B, nB, j, A, nA, i, W) == 0) ? j : -1;
+    }
+}
+
+// For each key of sorted A, the number of keys of sorted B strictly
+// below it (lower bound). Linear two-pointer merge.
+void fin_lower_bound(const uint64_t* A, int64_t nA, const uint64_t* B,
+                     int64_t nB, int64_t W, int64_t* out) {
+    int64_t j = 0;
+    for (int64_t i = 0; i < nA; i++) {
+        while (j < nB && key_compare(B, nB, j, A, nA, i, W) < 0) j++;
+        out[i] = j;
+    }
+}
+
+// best[idx[i]] = max(best[idx[i]], key[i]) -- numpy's ufunc.at runs at
+// ~1us/element; this is a plain random-write loop.
+void fin_scatter_max(int64_t* best, const int64_t* idx, const int64_t* key,
+                     int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t t = idx[i];
+        if (key[i] > best[t]) best[t] = key[i];
+    }
+}
+
+// All length-k windows of a 2-bit code sequence as W-word 3-bit-packed
+// keys (char+1 at bits [3p, 3p+3) for window position p), word-major
+// output out[w*nw + i]. Rolling update: one shift-right-3 per window.
+void fin_pack_windows(const uint8_t* codes, int64_t n, int64_t k,
+                      uint64_t* out) {
+    const int64_t nw = n - k + 1;
+    if (nw <= 0) return;
+    const int64_t W = (3 * k + 63) / 64;
+    // key words of the current window, LSW first
+    uint64_t cur[8] = {0};  // W <= 8 covers k <= 170
+    for (int64_t p = 0; p < k; p++) {
+        const uint64_t c = (uint64_t)(codes[p] + 1);
+        const int64_t bit = 3 * p, q = bit >> 6, r = bit & 63;
+        cur[q] |= c << r;
+        if (r > 61 && q + 1 < W) cur[q + 1] |= c >> (64 - r);
+    }
+    const int64_t top_bit = 3 * (k - 1), tq = top_bit >> 6, tr = top_bit & 63;
+    for (int64_t i = 0;; i++) {
+        for (int64_t w = 0; w < W; w++) out[w * nw + i] = cur[w];
+        if (i + 1 >= nw) break;
+        // drop first char, append next at position k-1
+        for (int64_t w = 0; w < W; w++) {
+            cur[w] >>= 3;
+            if (w + 1 < W) cur[w] |= cur[w + 1] << 61;
+        }
+        const uint64_t c = (uint64_t)(codes[i + k] + 1);
+        cur[tq] |= c << tr;
+        if (tr > 61 && tq + 1 < W) cur[tq + 1] |= c >> (64 - tr);
+    }
+}
+
+// The builder's per-window candidate minimum (finito_tpu/index/builder.py
+// _build_fast): cand_key[p] = (len << 48) | (colex << 8) at candidate
+// end positions (>= BIGKEY when no candidate); for every window
+// ws in [s, e-k] of each unitig [s, e) emit
+//   min over p in [ws, ws+k-1] with len(p) <= p-ws+1
+//       of (cand_key[p] | (p - ws)),
+// or BIGKEY if no candidate qualifies. Monotone-deque O(n) total; the
+// deque holds (key, p) with keys strictly increasing front to back (the
+// low 8 r-bits never tie: distinct candidates have distinct colex).
+void fin_window_min(const int64_t* cand_key, const int64_t* ends,
+                    int64_t n_u, int64_t k, int64_t bigkey,
+                    int64_t* out) {
+    // up to k+1 entries can be live between insertion and front expiry
+    std::vector<int64_t> dq_key((size_t)k + 2), dq_pos((size_t)k + 2);
+    int64_t widx = 0;
+    int64_t s = 0;
+    for (int64_t u = 0; u < n_u; u++) {
+        const int64_t e = ends[u];
+        if (e - s >= k) {
+            int64_t head = 0, tail = 0;  // [head, tail)
+            for (int64_t p = s; p < e; p++) {
+                const int64_t key = cand_key[p];
+                if ((key >> 48) <= k) {
+                    while (tail > head && dq_key[tail - 1] > key) tail--;
+                    if (tail == (int64_t)dq_key.size()) {
+                        // compact (ring not needed: <= k live entries)
+                        const int64_t m = tail - head;
+                        for (int64_t t = 0; t < m; t++) {
+                            dq_key[t] = dq_key[head + t];
+                            dq_pos[t] = dq_pos[head + t];
+                        }
+                        head = 0;
+                        tail = m;
+                    }
+                    dq_key[tail] = key;
+                    dq_pos[tail] = p;
+                    tail++;
+                }
+                const int64_t ws = p - k + 1;
+                if (ws >= s) {
+                    while (tail > head &&
+                           dq_pos[head] - (dq_key[head] >> 48) + 1 < ws)
+                        head++;
+                    out[widx++] = (tail > head)
+                                      ? (dq_key[head] | (dq_pos[head] - ws))
+                                      : bigkey;
+                }
+            }
+        }
+        s = e;
+    }
+}
+
+// Leftmost-lowest minimizer positions (finito_tpu/index/minimizer.py
+// build loop): for each unitig [s, e) with e-s >= k, for each window
+// ws in [s, e-k], the position of the leftmost minimum of hv[ws..ws+R-1]
+// (R = k-m+1). Deduplicated ascending positions are appended to out;
+// returns the count. Monotone deque, O(n) total.
+int64_t fin_minimizer_positions(const uint32_t* hv, const int64_t* ends,
+                                int64_t n_u, int64_t k, int64_t m,
+                                int64_t* out) {
+    const int64_t R = k - m + 1;
+    std::vector<int64_t> dq_pos((size_t)R + 2);
+    int64_t count = 0;
+    int64_t s = 0;
+    for (int64_t u = 0; u < n_u; u++) {
+        const int64_t e = ends[u];
+        if (e - s >= k) {
+            int64_t head = 0, tail = 0;
+            int64_t last_emit = -1;
+            // window of m-mer positions [ws, ws+R-1], ws in [s, e-k]
+            for (int64_t p = s; p <= e - m; p++) {
+                const uint32_t v = hv[p];
+                // strict >: keeps the LEFTMOST minimum at the front
+                while (tail > head && hv[dq_pos[tail - 1]] > v) tail--;
+                if (tail == (int64_t)dq_pos.size()) {
+                    const int64_t mm = tail - head;
+                    for (int64_t t = 0; t < mm; t++) dq_pos[t] = dq_pos[head + t];
+                    head = 0;
+                    tail = mm;
+                }
+                dq_pos[tail++] = p;
+                const int64_t ws = p - R + 1;
+                if (ws >= s) {
+                    while (tail > head && dq_pos[head] < ws) head++;
+                    const int64_t best = dq_pos[head];
+                    if (best != last_emit) {
+                        out[count++] = best;
+                        last_emit = best;
+                    }
+                }
+            }
+        }
+        s = e;
+    }
+    return count;
+}
+
+}  // extern "C"

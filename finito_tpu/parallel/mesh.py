@@ -274,6 +274,11 @@ class ShardedMinimizerIndex:
         slots = (slot32(mindex.occ_key) >> np.uint32(32 - h)).astype(np.int64)
         bounds = np.searchsorted(slots, np.arange(tp + 1) * V)
         per = int(max(1, (np.diff(bounds)).max()))
+        if per >= (1 << (32 - _LEN_BITS)):
+            raise ValueError(
+                "a tp shard holds >= 2^26 occurrences; increase tp "
+                "(per-shard descriptors rebase starts into 26 bits)"
+            )
         desc = np.zeros((tp, V + 1), dtype=np.uint32)  # +1: next-slot-start pad
         occ_rows = np.zeros((tp, per, 4), dtype=np.int32)
         n_occ = np.zeros(tp, dtype=np.int32)
@@ -281,9 +286,10 @@ class ShardedMinimizerIndex:
         for s in range(tp):
             a, b = int(bounds[s]), int(bounds[s + 1])
             lo_s, hi_s = s * V, min(n_slots, (s + 1) * V)
-            d = np.asarray(mindex.desc[lo_s : hi_s + 1], np.uint32)  # incl. pad
-            starts = (d >> np.uint32(_LEN_BITS)).astype(np.int64) - a  # rebase
-            lens = d & np.uint32(_LEN_MAX)
+            # int64 read: the GLOBAL desc is uint64 past 2^26 occurrences
+            d = np.asarray(mindex.desc[lo_s : hi_s + 1], np.int64)  # incl. pad
+            starts = (d >> _LEN_BITS) - a  # rebase into the shard
+            lens = (d & _LEN_MAX).astype(np.uint32)
             desc[s, : hi_s + 1 - lo_s] = (
                 (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
             )

@@ -305,9 +305,11 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
         # --- slot descriptor (1 gather): slot = slot32(v) >> (32-h); hash
         # collisions are harmless (the text compare is the arbiter)
         slot = (slot32_device(best_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
+        # python-int shifts: desc is uint32 below 2^26 occurrences and
+        # uint64 above (the packed start outgrows 26 bits)
         d = jnp.take(dmi.desc, jnp.where(bad, 0, slot))
-        start = (d >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
-        ln = (d & jnp.uint32(_LEN_MAX)).astype(jnp.int32)
+        start = (d >> _LEN_BITS).astype(jnp.int32)
+        ln = (d & _LEN_MAX).astype(jnp.int32)
         ln = jnp.where(bad, 0, ln)
 
         # --- fast path: single-occurrence slots (1 + NW+1 gathers)
@@ -330,7 +332,7 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
         # exact slot end = next slot's start (the stored length saturates
         # at 63 for repeat-heavy values)
         s_slot = jnp.take(slot.reshape(-1), safe)
-        s_end = (jnp.take(dmi.desc, s_slot + 1) >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
+        s_end = (jnp.take(dmi.desc, s_slot + 1) >> _LEN_BITS).astype(jnp.int32)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 

@@ -130,8 +130,7 @@ def build_plain_matrix_sbwt(
         if codes.size >= k:
             per_seq.append(kw.pack_windows(codes, k))
     kmers = kw.concat(per_seq) if per_seq else kw.empty(W)
-    order = kw.sort_order(kmers)
-    kmers = kw.dedup_sorted(kw.take(kmers, order))
+    kmers = kw.dedup_sorted(kw.sort_keys(kmers))
     n_kmers = kmers[0].size
 
     # Sources: k-mers whose (k-1)-prefix matches no (k-1)-suffix.
@@ -147,10 +146,10 @@ def build_plain_matrix_sbwt(
         dummy_parts.append(kw.shift_left(kw.mask_low(src, j), k - j))
     dummy_parts[0] = [np.zeros(1, dtype=np.uint64) for _ in range(W)]
     dummies = kw.concat(dummy_parts)
-    dummies = kw.dedup_sorted(kw.take(dummies, kw.sort_order(dummies)))
+    dummies = kw.dedup_sorted(kw.sort_keys(dummies))
 
     nodes = kw.concat([kmers, dummies])
-    nodes = kw.take(nodes, kw.sort_order(nodes))
+    nodes = kw.sort_keys(nodes)
     n_nodes = nodes[0].size
 
     # Suffix groups: nodes sharing label[1:] are colex-consecutive.

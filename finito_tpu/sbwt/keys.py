@@ -50,6 +50,12 @@ def pack_rows(mat: np.ndarray) -> List[np.ndarray]:
 def pack_windows(codes: np.ndarray, k: int) -> List[np.ndarray]:
     """All k-windows of one code sequence (values 0..3 -> stored +1),
     as W-word keys; (len-k+1) windows."""
+    from finito_tpu import native
+
+    if codes.size >= k:
+        out = native.pack_windows(codes, k)
+        if out is not None:
+            return out
     nw = codes.size - k + 1
     W = n_words(k)
     words = [np.zeros(nw, dtype=U64) for _ in range(W)]
@@ -76,12 +82,51 @@ def take(keys: List[np.ndarray], idx) -> List[np.ndarray]:
     return [w[idx] for w in keys]
 
 
+def used_bits(keys: List[np.ndarray]) -> int:
+    """Bits actually used by the keys: full low words + the occupied bits
+    of the most significant nonzero word (one max pass, guides the native
+    radix's digit count)."""
+    for w in range(len(keys) - 1, -1, -1):
+        hi = int(keys[w].max()) if keys[w].size else 0
+        if hi:
+            return 64 * w + hi.bit_length()
+    return 1
+
+
 def sort_order(keys: List[np.ndarray]) -> np.ndarray:
     """Indices sorting keys ascending (colex of the rows)."""
+    from finito_tpu import native
+
+    idx = native.radix_argsort(keys, used_bits(keys))
+    if idx is not None:
+        return idx
     if len(keys) == 1:
         return np.argsort(keys[0], kind="stable")
     # np.lexsort: LAST key is primary = the most significant word
     return np.lexsort(tuple(keys))
+
+
+def sort_keys(keys: List[np.ndarray]) -> List[np.ndarray]:
+    """The keys themselves in ascending order (native path skips the
+    separate fancy-index gather)."""
+    from finito_tpu import native
+
+    res = native.radix_argsort(keys, used_bits(keys), want_keys=True)
+    if res is not None:
+        return res[1]
+    return take(keys, sort_order(keys))
+
+
+def is_sorted_unique(keys: List[np.ndarray]) -> bool:
+    """True iff the keys are strictly increasing."""
+    n = keys[0].size
+    if n <= 1:
+        return True
+    cmp = np.zeros(n - 1, dtype=np.int8)
+    for w in keys:  # LSW -> MSW; a more significant difference overrides
+        c = (w[1:] > w[:-1]).astype(np.int8) - (w[1:] < w[:-1]).astype(np.int8)
+        np.copyto(cmp, c, where=c != 0)
+    return bool(np.all(cmp > 0))
 
 
 def eq_adjacent(keys: List[np.ndarray]) -> np.ndarray:
@@ -160,11 +205,23 @@ def match_into(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
     unique (the first B index in the run wins) but callers here use
     unique B. O((|A|+|B|) log) with pure word ops.
     """
+    from finito_tpu import native
+
     nA, nB = A[0].size, B[0].size
     if nA == 0:
         return np.zeros(0, dtype=np.int64)
     if nB == 0:
         return np.full(nA, -1, dtype=np.int64)
+    if native.get_lib() is not None and is_sorted_unique(B):
+        # every construction-path B is sorted unique: radix-sort A and
+        # linear-merge against B instead of one combined lexsort
+        res = native.radix_argsort(A, used_bits(A), want_keys=True)
+        if res is not None:
+            idxA, A_sorted = res
+            pos = native.merge_join(A_sorted, B)
+            out = np.empty(nA, dtype=np.int64)
+            out[idxA] = pos
+            return out
     comb = [np.concatenate([a, b]) for a, b in zip(A, B)]
     order = sort_order(comb)
     sorted_keys = take(comb, order)
