@@ -28,15 +28,18 @@ NORTH_STAR_PER_CHIP = 100e6 / 16
 def gen_dspss(rng, genome_len: int, k: int, mean_unitig: int = 2000):
     """Random genome cut into unitigs overlapping by k-1 (k-mer set preserved,
     each k-mer occurs exactly once)."""
+    from finito_tpu import native
+
     while True:
         genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
-        win = np.lib.stride_tricks.sliding_window_view(genome, k)
         # verify k-mer distinctness (astronomically likely for k=31)
-        keys = np.zeros(win.shape[0], dtype=np.uint64)
         if k <= 31:
+            keys = np.zeros(genome_len - k + 1, dtype=np.uint64)
             for i in range(k):
-                keys |= win[:, i].astype(np.uint64) << np.uint64(2 * i)
-            if np.unique(keys).size != keys.size:
+                keys |= genome[i : genome_len - k + 1 + i].astype(np.uint64) << np.uint64(2 * i)
+            order = native.argsort_u64(keys)
+            s = keys[order] if order is not None else np.sort(keys)
+            if np.any(s[1:] == s[:-1]):
                 continue
         break
     cuts = [0]
@@ -73,6 +76,10 @@ def main() -> int:
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    from finito_tpu.utils import tune_host_allocator
+
+    tune_host_allocator()
 
     rng = np.random.default_rng(0)
     t_start = time.perf_counter()

@@ -397,9 +397,10 @@ def print_help(prog: str) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    from finito_tpu.utils import configure_jax_platform
+    from finito_tpu.utils import configure_jax_platform, tune_host_allocator
 
     configure_jax_platform()  # honor FINITO_JAX_PLATFORM before backend init
+    tune_host_allocator()
     argv = list(sys.argv[1:] if argv is None else argv)
     prog = "finito"
     if not argv or argv[0] in ("-h", "--help"):

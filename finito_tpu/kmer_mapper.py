@@ -91,9 +91,10 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
     error whenever a k-mer's TOTAL occurrence count exceeds 1 -- including
     forward-only duplicates and regardless of -r (main.rs:89-92) -- using
     the engine's exact per-window occurrence counter."""
-    from finito_tpu.utils import configure_jax_platform
+    from finito_tpu.utils import configure_jax_platform, tune_host_allocator
 
     configure_jax_platform()
+    tune_host_allocator()
     import jax
 
     from finito_tpu.io.seqdb import encode_seq
