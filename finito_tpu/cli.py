@@ -81,6 +81,57 @@ def sbwt_build(argv: List[str]) -> int:
     return 0
 
 
+# -------------------------------------------------------------- convert-sbwt
+
+
+def convert_sbwt(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="finito convert-sbwt",
+        description="Convert a standalone .sbwt between finito's FINSBWT1 "
+        "container and the algbio/SBWT plain-matrix layout "
+        "(see DEVIATIONS.md item 9 for the verification status).",
+    )
+    p.add_argument("-i", "--in-file", required=True)
+    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("--to", required=True, choices=["algbio", "finito"])
+    args = p.parse_args(argv)
+
+    from finito_tpu.io import sdsl
+    from finito_tpu.io.algbio_sbwt import (
+        read_algbio_sbwt,
+        sniff_format,
+        write_algbio_sbwt,
+    )
+    from finito_tpu.sbwt.sbwt import PlainMatrixSBWT
+
+    check_readable(args.in_file)
+    fmt = sniff_format(args.in_file)
+    if fmt == "finito":
+        with open(args.in_file, "rb") as f:
+            head = f.read(8)
+            f.seek(0)
+            if head != PlainMatrixSBWT.MAGIC:  # variant header precedes
+                sdsl.load_string(f)
+            sbwt = PlainMatrixSBWT.load(f)
+    else:
+        sbwt, _sgs = read_algbio_sbwt(
+            args.in_file, variant_header=(fmt == "algbio")
+        )
+    write_log(
+        f"Loaded {args.in_file} ({fmt}): {sbwt.number_of_subsets()} nodes, "
+        f"k={sbwt.get_k()}",
+        LogLevel.MAJOR,
+    )
+    if args.to == "algbio":
+        write_algbio_sbwt(args.out_file, sbwt, variant_header=True)
+    else:
+        with open(args.out_file, "wb") as f:
+            sdsl.serialize_string(f, "plain-matrix")
+            sbwt.serialize(f)
+    write_log(f"Wrote {args.out_file} ({args.to})", LogLevel.MAJOR)
+    return 0
+
+
 # --------------------------------------------------------------- build-fmin
 
 
@@ -125,7 +176,17 @@ def build_fmin(argv: List[str]) -> int:
             )
             return 1
         write_log("Loading the index variant " + variant, LogLevel.MAJOR)
-        sbwt = PlainMatrixSBWT.load(f)
+        # payload auto-detect: finito's FINSBWT1 container or the
+        # algbio/SBWT layout the reference pipeline produces
+        pos = f.tell()
+        magic = f.read(8)
+        f.seek(pos)
+        if magic == PlainMatrixSBWT.MAGIC:
+            sbwt = PlainMatrixSBWT.load(f)
+        else:
+            from finito_tpu.io.algbio_sbwt import read_algbio_sbwt
+
+            sbwt, _sgs = read_algbio_sbwt(f, variant_header=False)
 
     lcs_file = args.lcs
     if not lcs_file:
@@ -383,6 +444,7 @@ COMMANDS = {
     "build-fmin": build_fmin,
     "search-fmin": search_fmin,
     "sbwt-build": sbwt_build,
+    "convert-sbwt": convert_sbwt,
     "kmer-mapper": _kmer_mapper,
 }
 

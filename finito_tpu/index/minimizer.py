@@ -129,7 +129,13 @@ class MinimizerIndex:
 
     # ------------------------------------------------------------- build
     @staticmethod
-    def build(concat: np.ndarray, ends: np.ndarray, k: int, m: int | None = None) -> "MinimizerIndex":
+    def build(
+        concat: np.ndarray,
+        ends: np.ndarray,
+        k: int,
+        m: int | None = None,
+        slot_factor: int = 32,
+    ) -> "MinimizerIndex":
         """concat: 2-bit codes of all unitigs back to back (permuted order,
         same layout as PackedStrings.concat); ends: exclusive end offsets.
 
@@ -195,7 +201,7 @@ class MinimizerIndex:
         # fraction is ~the window-weighted load factor (A/B-measured
         # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
-        h = max(4, min(28, int(np.ceil(np.log2(max(16, 32 * max(1, pos.size)))))))
+        h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
         if order is None:

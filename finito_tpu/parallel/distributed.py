@@ -47,6 +47,18 @@ def init_distributed(
     return 0, 1
 
 
+def distributed_barrier(name: str) -> None:
+    """Block until every process reaches this point (a real cross-process
+    collective over the global device set). No-op in a 1-process run."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def process_slice(n_items: int, process_id: int, num_processes: int) -> Tuple[int, int]:
     """Contiguous [start, end) of items owned by a process. Contiguous
     (not strided) so per-process outputs concatenate in process order
@@ -86,10 +98,15 @@ def merge_parts(out_path: str, num_processes: int, remove: bool = True) -> None:
 
 
 def run_distributed_queries(engine, reads: List[bytes], out_path: str,
-                            process_id: int, num_processes: int) -> None:
-    """Per-host slice -> batched engine -> part file; process 0 merges.
-    (The merge barrier is the caller's; in a pjit program the natural
-    barrier is a tiny psum.)"""
+                            process_id: int, num_processes: int,
+                            barrier: bool = False) -> None:
+    """Per-host slice -> batched engine -> part file -> merge.
+
+    With barrier=True (a real jax.distributed run) the merge is fully
+    owned here: every process syncs after writing its part, process 0
+    concatenates, and a second sync holds everyone until the merged file
+    exists. barrier=False is for single-process or simulated runs where
+    the caller sequences the parts itself."""
     mine = split_for_process(reads, process_id, num_processes)
     lines = []
     for f, r in engine.process_reads(mine):
@@ -104,3 +121,8 @@ def run_distributed_queries(engine, reads: List[bytes], out_path: str,
     write_part(out_path, process_id, lines)
     if num_processes == 1:
         merge_parts(out_path, 1)
+    elif barrier:
+        distributed_barrier(f"finito:parts:{out_path}")
+        if process_id == 0:
+            merge_parts(out_path, num_processes)
+        distributed_barrier(f"finito:merged:{out_path}")
