@@ -64,7 +64,8 @@ def main() -> int:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one timed trial into DIR")
     p.add_argument("--mutate", type=float, default=0.005)
-    p.add_argument("--engine", default="minimizer", choices=["minimizer", "stream", "dense"])
+    p.add_argument("--engine", default="minimizer",
+                   choices=["minimizer", "stream", "dense", "replica"])
     args = p.parse_args()
 
     # Persistent compilation cache: remote TPU compiles here cost ~30-60s

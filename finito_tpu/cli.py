@@ -354,7 +354,20 @@ def search_fmin(argv: List[str]) -> int:
         help="Query engine: host oracle (exact reference algorithm), or the "
         "batched TPU engines (identical output).",
     )
+    p.add_argument(
+        "--mesh", default="1,1", metavar="DP,TP",
+        help="Device mesh for multi-chip scale-out (minimizer engine): "
+        "batch shards over DP, index slot ranges over TP; DP must be a "
+        "power of two and DP*TP devices must be visible. Default 1,1 "
+        "(single device).",
+    )
     args = p.parse_args(argv)
+    try:
+        mesh_dp, mesh_tp = (int(x) for x in args.mesh.split(","))
+    except ValueError:
+        raise RuntimeError(f"--mesh must be DP,TP integers, got {args.mesh!r}")
+    if mesh_dp * mesh_tp > 1 and (mesh_dp & (mesh_dp - 1)):
+        raise RuntimeError("--mesh DP must be a power of two (batches pad to powers of two)")
 
     from finito_tpu.index.index import FinimizerIndex
     from finito_tpu.io.fastx import SequenceReader
@@ -386,7 +399,10 @@ def search_fmin(argv: List[str]) -> int:
     if args.engine != "oracle":
         from finito_tpu.query.engine import DeviceQueryEngine
 
-        engine = DeviceQueryEngine(index, mode=args.engine)
+        mesh = (mesh_dp, mesh_tp) if mesh_dp * mesh_tp > 1 else None
+        engine = DeviceQueryEngine(index, mode=args.engine, mesh=mesh)
+    elif mesh_dp * mesh_tp > 1:
+        raise RuntimeError("--mesh requires --engine minimizer")
 
     k = index.sbwt.get_k()
     sys.stderr.write(

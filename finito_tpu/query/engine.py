@@ -113,10 +113,22 @@ def _locate_dense(dsbwt: DeviceSBWT, uid_table, off_table, codes, k: int):
 class DeviceQueryEngine:
     """Batched (unitig, offset) localization over a loaded FinimizerIndex."""
 
-    def __init__(self, index: FinimizerIndex, mode: str = "dense"):
+    def __init__(self, index: FinimizerIndex, mode: str = "dense", mesh=None):
+        """mesh: optional (dp, tp) ints. With dp*tp > 1 (minimizer mode
+        only) the locate runs as the shard_map'd multi-chip pipeline of
+        parallel.mesh -- the batch sharded over dp, minimizer slot ranges
+        over tp -- instead of the single-device program. This is the
+        product CLI's scale-out path (`search-fmin --mesh dp,tp`);
+        output is identical to the single-device engine (tested on the
+        virtual CPU mesh)."""
         self.index = index
         self.k = index.sbwt.get_k()
         self.mode = mode
+        self.mesh_shape = tuple(mesh) if mesh else None
+        if self.mesh_shape and int(np.prod(self.mesh_shape)) <= 1:
+            self.mesh_shape = None
+        if self.mesh_shape and mode != "minimizer":
+            raise ValueError("--mesh requires the minimizer engine")
         # SBWT device upload only for the modes that use it: the replica
         # and minimizer engines build their own device structures, and
         # holding a dead SBWT in HBM defeats the compact replica mode.
@@ -184,6 +196,45 @@ class DeviceQueryEngine:
                     K = min(B * W, K * 4)
 
             self._locate = locate_stream
+        elif mode == "minimizer" and self.mesh_shape:
+            import jax as _jax
+
+            from finito_tpu.index.minimizer import MinimizerIndex
+            from finito_tpu.parallel.mesh import (
+                ShardedMinimizerIndex,
+                make_mesh,
+                sharded_minimizer_locate_fn,
+            )
+
+            dp, tp = self.mesh_shape
+            if len(_jax.devices()) < dp * tp:
+                raise RuntimeError(
+                    f"--mesh {dp},{tp} needs {dp * tp} devices, "
+                    f"found {len(_jax.devices())}"
+                )
+            self.mesh = make_mesh(dp * tp, tp=tp)
+            mindex = MinimizerIndex.from_finimizer_index(index)
+            sh = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
+            k = self.k
+            mesh_cache = {}
+
+            def locate_mesh(codes):
+                B, L = codes.shape
+                if B % dp:
+                    raise ValueError(f"batch {B} not divisible by dp={dp}")
+                W = L - k + 1
+                K = max(256, (B * W) // 32)
+                while True:
+                    if K not in mesh_cache:
+                        mesh_cache[K] = sharded_minimizer_locate_fn(self.mesh, sh, K)
+                    uid, off, n_slow = mesh_cache[K](codes)
+                    if int(n_slow) <= K:
+                        return uid, off
+                    if K >= B * W:
+                        raise AssertionError("slow-path overflow at K == B*W")
+                    K = min(B * W, K * 4)
+
+            self._locate = locate_mesh
         elif mode == "minimizer":
             from finito_tpu.index.minimizer import MinimizerIndex
             from finito_tpu.query.minimizer_engine import (
@@ -237,6 +288,15 @@ class DeviceQueryEngine:
                 return jitted(codes)
 
             pipe.K = K
+            return pipe
+        if self.mode == "replica":
+            loc = self._locate
+
+            def pipe(codes):
+                uid, off = loc(codes)
+                return uid, off, jnp.int32(0)
+
+            pipe.K = batch * W
             return pipe
         if self.mode not in ("dense", "stream"):
             raise ValueError(f"no device pipeline for mode {self.mode}")

@@ -240,6 +240,188 @@ def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
     return match, uid, off_w
 
 
+def make_minimizer_locate_v2(
+    dmi: DeviceMinimizerIndex, K_slow: int, K_heads: int, count_occurrences: bool = False
+):
+    """Run-deduplicated locate: big-table gathers once per minimizer RUN.
+
+    The minimizer position of sliding windows is NON-DECREASING within a
+    read (leftmost-lowest sliding minimum), so consecutive windows
+    sharing a minimizer occurrence form contiguous runs of ~(k-m+2)/2
+    windows. The slot descriptor and candidate payload depend only on the
+    run's minimizer value, so v2 compacts run HEADS (one cumsum gives
+    both the head ordinals and the compaction targets), performs the
+    desc + slot-end + payload gathers per head (~6-8x fewer touches of
+    the index-sized tables, which fall off a measured gather-rate cliff
+    past ~32 MB on v5e: 103 M/s -> 63 M/s), and redistributes through one
+    (K_heads, 8) row gather from a table of a few MB (~230 M rows/s).
+    Per-window text verification is unchanged -- exactness is untouched.
+
+    Returns (uid, off, n_slow, n_heads); results are valid only when
+    n_slow <= K_slow AND n_heads <= K_heads (caller resizes otherwise).
+    Wins when the descriptor table is larger than the cliff; below it
+    the v1 per-window form has less overhead (engine picks per size).
+    """
+    k, m = dmi.k, dmi.m
+    R = k - m + 1
+    masks = _word_masks(k)
+    NW = len(masks)
+    n_occ = dmi.n_occ
+
+    def run(dmi, codes):
+        B, L = codes.shape
+        W = L - k + 1
+        c = codes.astype(jnp.uint32)
+
+        nm = L - m + 1
+        mv = jnp.zeros((B, nm), jnp.uint32)
+        bad_m = jnp.zeros((B, nm), jnp.bool_)
+        for i in range(m):
+            ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
+            mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
+            bad_m = bad_m | (ci > 3)
+        hv = mix32_device(mv)
+        best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
+        best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
+        best_o = jnp.zeros((B, W), jnp.int32)
+        bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
+        for r in range(1, R):
+            cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
+            cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
+            upd = cand_h < best_h
+            best_v = jnp.where(upd, cand_v, best_v)
+            best_h = jnp.where(upd, cand_h, best_h)
+            best_o = jnp.where(upd, r, best_o)
+            bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
+
+        q_words = []
+        for w in range(NW):
+            qw = jnp.zeros((B, W), jnp.uint32)
+            for i in range(16 * w, min(16 * (w + 1), k)):
+                ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
+                qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
+            q_words.append(qw)
+
+        # ---- run heads: pm = in-read m-mer position of the minimizer;
+        # non-decreasing, so one cumsum yields head ordinals AND the
+        # head -> flat-window compaction
+        pm = best_o + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        head = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.bool_), pm[:, 1:] != pm[:, :-1]], axis=1
+        ).reshape(-1)
+        ord_flat = jnp.cumsum(head.astype(jnp.int32)) - 1  # head ordinal per window
+        n_heads = ord_flat[-1] + 1
+        BW = B * W
+        head_pos = jnp.full((K_heads,), 0, jnp.int32)
+        head_pos = head_pos.at[jnp.where(head, ord_flat, K_heads)].set(
+            jnp.arange(BW, dtype=jnp.int32), mode="drop"
+        )
+
+        # ---- per-head gathers (the only touches of the big tables)
+        # NOTE: no bad-masking here -- badness is PER WINDOW and can
+        # differ inside a run (a pad char in the head window only); the
+        # slot hash is always in range, a good window sharing the head's
+        # pm shares its true minimizer value, and per-window `ln` is
+        # zeroed by `bad` after redistribution.
+        h_v = jnp.take(best_v.reshape(-1), head_pos)
+        slot = (slot32_device(h_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
+        d = jnp.take(dmi.desc, slot)
+        h_start = (d >> _LEN_BITS).astype(jnp.int32)
+        h_ln = (d & _LEN_MAX).astype(jnp.int32)
+        h_end = (jnp.take(dmi.desc, slot + 1) >> _LEN_BITS).astype(jnp.int32)
+        row = jnp.take(dmi.occ_rows, jnp.where(h_ln == 1, h_start, 0), axis=0)
+        head_table = jnp.stack(
+            [h_start, h_ln, h_end, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
+            axis=1,
+        )  # (K_heads, 7) int32, a few MB -- fast to gather from
+
+        # ---- redistribute to windows: one small-table row gather
+        wrow = jnp.take(head_table, jnp.minimum(ord_flat, K_heads - 1), axis=0)
+        start = wrow[:, 0].reshape(B, W)
+        ln = jnp.where(bad, 0, wrow[:, 1].reshape(B, W))
+        s_end_w = wrow[:, 2]
+        g_m = wrow[:, 3].reshape(B, W)
+        uid_m = wrow[:, 4].reshape(B, W)
+        off_m = wrow[:, 5].reshape(B, W)
+        uend = wrow[:, 6].reshape(B, W)
+
+        # ---- fast path: candidate payload already in hand, text-verify
+        fast = ln == 1
+        g_w = g_m - best_o
+        off_w = off_m - best_o
+        ok = fast & (off_w >= 0) & (g_w + k <= uend)
+        g_safe = jnp.maximum(g_w, 0)
+        if dmi.text_rows is not None and k <= 32:
+            match = ok & _match_text_kmer_rows(dmi.text_rows, g_safe, q_words, masks)
+        elif dmi.text_rows is not None:
+            match = ok & _match_text_kmer_rows8(dmi.text_rows, g_safe, q_words, masks)
+        else:
+            match = ok & _match_text_kmer(dmi.text, g_safe, q_words, masks, k)
+        found_f = match
+        neg = jnp.int32(-1)
+        uid = jnp.where(found_f, uid_m, neg)
+        off = jnp.where(found_f, off_w, neg)
+
+        # ---- slow path: identical to v1, with the exact slot end
+        # propagated from the head instead of a second desc gather
+        slow_mask = (ln >= 2).reshape(-1)
+        flat_idx, n_slow = compact_mask(slow_mask, K_slow)
+        valid = flat_idx >= 0
+        safe = jnp.where(valid, flat_idx, 0)
+        s_start = jnp.take(start.reshape(-1), safe)
+        s_end = jnp.take(s_end_w, safe)
+        s_o = jnp.take(best_o.reshape(-1), safe)
+        s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
+
+        def cond(st):
+            i, uid, off, cnt, done = st
+            return jnp.any(~done)
+
+        def body(st):
+            i, uid, off, cnt, done = st
+            in_range = ~done & (i < s_end) & (i < n_occ)
+            ci = jnp.where(in_range, i, 0)
+            match, uid_c, off_c = _check_candidate(dmi, ci, s_o, s_qw, masks, k)
+            hit = in_range & match
+            first = hit & (cnt == 0)
+            uid = jnp.where(first, uid_c, uid)
+            off = jnp.where(first, off_c, off)
+            cnt = cnt + hit.astype(jnp.int32)
+            if not count_occurrences:
+                done = done | hit
+            done = done | (i + 1 >= s_end) | (i + 1 >= n_occ)
+            return i + 1, uid, off, cnt, done
+
+        uid_s = jnp.full((K_slow,), -1, jnp.int32)
+        off_s = jnp.full((K_slow,), -1, jnp.int32)
+        cnt_s = jnp.zeros((K_slow,), jnp.int32)
+        _, uid_s, off_s, cnt_s, _ = lax.while_loop(
+            cond, body, (s_start, uid_s, off_s, cnt_s, ~valid)
+        )
+
+        scat = jnp.where(valid, flat_idx, BW)
+        uid = uid.reshape(-1).at[scat].set(uid_s, mode="drop")
+        off = off.reshape(-1).at[scat].set(off_s, mode="drop")
+        if not count_occurrences:
+            return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow, n_heads
+        cnt = found_f.astype(jnp.int32)
+        cnt = cnt.reshape(-1).at[scat].set(cnt_s, mode="drop")
+        return (
+            uid.reshape(best_v.shape),
+            off.reshape(best_v.shape),
+            n_slow,
+            n_heads,
+            cnt.reshape(best_v.shape),
+        )
+
+    jrun = jax.jit(run)
+
+    def locate(codes):
+        return jrun(dmi, codes)
+
+    return locate
+
+
 def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurrences: bool = False):
     """Returns a JITTED locate: (B, L) codes -> ((B, W) uid, off, n_slow).
 

@@ -69,3 +69,154 @@ def test_sharded_minimizer_locate(setup, tp):
     W = uid1.shape[1]
     np.testing.assert_array_equal(np.asarray(uid)[:, :W], uid1)
     np.testing.assert_array_equal(np.asarray(off)[:, :W], off1)
+
+
+def test_all_kmers_cover_shard_boundaries(setup):
+    """Deliberate seam coverage: query EVERY k-mer of the indexed set as
+    its own read, so every colex rank -- including the word-aligned
+    shard-boundary ranks of each tp split -- flows through the sharded
+    rank/psum path. Any clip/rebase bug at a shard seam fails here."""
+    index, engine, _reads, _u, _o = setup
+    k = index.sbwt.get_k()
+    concat = np.asarray(index.unitigs.concat)
+    ends = np.asarray(index.unitigs.ends)
+    wins = []
+    s = 0
+    for e in ends:
+        e = int(e)
+        for p in range(s, e - k + 1):
+            wins.append(concat[p : p + k])
+        s = e
+    reads = np.stack(wins).astype(np.uint8)  # (n_kmers_with_dups, k)
+    pad = (-reads.shape[0]) % 8  # batch divisible by every dp tested
+    reads = np.vstack([reads, np.full((pad, k), 255, np.uint8)])
+    uid1, off1 = engine.locate_batch(reads)
+    assert np.all(uid1[: reads.shape[0] - pad] >= 0)  # every indexed k-mer found
+    for tp in (2, 4, 8):
+        mesh = make_mesh(8, tp=tp)
+        sh = ShardedIndex.from_index(index, np.asarray(engine.pos_table), tp=tp)
+        uid, off = sharded_locate_fn(mesh, sh)(reads)
+        np.testing.assert_array_equal(np.asarray(uid)[:, :1], uid1)
+        np.testing.assert_array_equal(np.asarray(off)[:, :1], off1)
+        mindex = MinimizerIndex.from_finimizer_index(index)
+        shm = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
+        um, om, ns = sharded_minimizer_locate_fn(mesh, shm, K_slow=2048)(reads)
+        assert int(np.asarray(ns)) <= 2048
+        np.testing.assert_array_equal(np.asarray(um)[:, :1], uid1)
+        np.testing.assert_array_equal(np.asarray(om)[:, :1], off1)
+
+
+def test_minimizer_seam_slots_are_exercised(setup):
+    """Deliberate seam pressure: a slot_factor=1 table packs occupied
+    slots densely, so every tp split has occupied slots directly at the
+    seams (asserted, not assumed); the sharded locate must still equal
+    the single-device answer on the all-k-mers query set."""
+    index, engine, _r, _u, _o = setup
+    from finito_tpu.index.minimizer import slot32
+
+    k = index.sbwt.get_k()
+    mindex = MinimizerIndex.build(
+        np.asarray(index.unitigs.concat), np.asarray(index.unitigs.ends),
+        k, slot_factor=1,
+    )
+    concat = np.asarray(index.unitigs.concat)
+    ends = np.asarray(index.unitigs.ends)
+    wins, s = [], 0
+    for e in ends:
+        e = int(e)
+        wins.extend(concat[p : p + k] for p in range(s, e - k + 1))
+        s = e
+    reads = np.stack(wins).astype(np.uint8)
+    pad = (-reads.shape[0]) % 8
+    reads = np.vstack([reads, np.full((pad, k), 255, np.uint8)])
+    uid1, off1 = engine.locate_batch(reads)
+
+    occ_slots = (slot32(mindex.occ_key) >> np.uint32(32 - mindex.h)).astype(np.int64)
+    for tp in (2, 4, 8):
+        shm = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
+        V = shm.V
+        local = occ_slots % V
+        assert np.any(local <= 1) and np.any(local >= V - 2), tp  # seams occupied
+        mesh = make_mesh(8, tp=tp)
+        um, om, ns = sharded_minimizer_locate_fn(mesh, shm, K_slow=4096)(reads)
+        assert int(np.asarray(ns)) <= 4096
+        np.testing.assert_array_equal(np.asarray(um)[:, :1], uid1)
+        np.testing.assert_array_equal(np.asarray(om)[:, :1], off1)
+
+
+def test_sharded_minimizer_million_nodes():
+    """~10^6-node sharded index: build from a 1 Mbp synthetic DSPSS and
+    verify the (dp, tp) sharded minimizer locate against the single-
+    device engine on mutated reads."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import gen_dspss as gen_big
+
+    rng = np.random.default_rng(5)
+    k = 21
+    genome, unitigs = gen_big(rng, 1_000_000, k)
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    sbwt, node_keys = build_plain_matrix_sbwt(unitigs, k, return_keys=True)
+    assert sbwt.number_of_subsets() >= 1_000_000
+    index = FinimizerIndexBuilder(
+        sbwt, lcs_array(sbwt), SeqDB.from_sequences(unitigs), node_keys=node_keys
+    ).get_index()
+
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    B, L = 32, 100
+    starts = rng.integers(0, 1_000_000 - L, size=B)
+    reads = genome[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.integers(0, L, size=B)
+    reads[np.arange(B), mut] = (reads[np.arange(B), mut] + 1) % 4
+    uid1, off1 = engine.locate_batch(reads)
+    assert np.any(uid1 >= 0) and np.any(uid1 == -1)
+
+    mindex = MinimizerIndex.from_finimizer_index(index)
+    for tp in (2, 8):
+        mesh = make_mesh(8, tp=tp)
+        shm = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
+        uid, off, ns = sharded_minimizer_locate_fn(mesh, shm, K_slow=1024)(reads)
+        W = uid1.shape[1]
+        np.testing.assert_array_equal(np.asarray(uid)[:, :W], uid1)
+        np.testing.assert_array_equal(np.asarray(off)[:, :W], off1)
+
+
+def test_cli_search_fmin_mesh_matches_single(tmp_path):
+    """Product-surface scale-out: `search-fmin --engine minimizer
+    --mesh 4,2` on the 8-device CPU mesh produces a byte-identical
+    output file to the single-device run."""
+    from finito_tpu.cli import main
+
+    rng = np.random.default_rng(31)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 12, 60, k)
+    fna = str(tmp_path / "u.fna")
+    with open(fna, "w") as f:
+        for i, u in enumerate(unitigs):
+            f.write(f">u{i}\n{u}\n")
+    reads = str(tmp_path / "q.fna")
+    with open(reads, "w") as f:
+        for i in range(17):
+            if i % 3 == 0:
+                f.write(f">q{i}\n{unitigs[int(rng.integers(len(unitigs)))]}\n")
+            else:
+                s = "".join(rng.choice(list("ACGT"), int(rng.integers(k, 40))))
+                f.write(f">q{i}\n{s}\n")
+
+    sbwt_f = str(tmp_path / "x.sbwt")
+    prefix = str(tmp_path / "p")
+    assert main(["sbwt-build", "-k", str(k), "-i", fna, "-o", sbwt_f]) == 0
+    assert main(["build-fmin", "-o", prefix, "-i", sbwt_f, "-u", fna]) == 0
+    o1 = str(tmp_path / "single.txt")
+    assert main(["search-fmin", "-o", o1, "-i", prefix, "-q", reads,
+                 "--engine", "minimizer"]) == 0
+    o2 = str(tmp_path / "mesh.txt")
+    assert main(["search-fmin", "-o", o2, "-i", prefix, "-q", reads,
+                 "--engine", "minimizer", "--mesh", "4,2"]) == 0
+    assert open(o2).read() == open(o1).read()
+    assert open(o1).read().count("\n") == 17
