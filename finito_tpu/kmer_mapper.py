@@ -19,11 +19,15 @@ Semantics match the Rust binary:
     place is an error (main.rs:82-92);
   * extract-index-unitigs reproduces the stored records.
 
-Deviations (documented): the index file format is finito's own
-(FTMIDX02, index/minimizer.py) rather than Rust bincode; -m above 16 is
-clamped (our hash-slot bucket table replaces boomphf's MPHF -- query
-answers are independent of m, it is purely a performance knob);
--t is accepted for compatibility (the TPU path needs no host threads).
+Deviations (documented): the index file format written is finito's own
+(FTMIDX02, index/minimizer.py) rather than Rust bincode, but query and
+extract-index-unitigs AUTO-IMPORT a Rust KMIDXv01 file one-way
+(io/kmidx.py: the hash-slot table rebuilds from the stored unitigs and
+the occurrence set is cross-validated against the stored locations);
+-m above 16 is clamped (our hash-slot bucket table replaces boomphf's
+MPHF -- query answers are independent of m, it is purely a performance
+knob); -t is accepted for compatibility (the TPU path needs no host
+threads).
 
 The default query path runs on the accelerator in batches; --host-exact
 forces the per-window host scan with full multi-occurrence detection.
@@ -180,7 +184,7 @@ def query(argv: List[str]) -> int:
     from finito_tpu.io.fastx import SequenceReader, reverse_complement
     from finito_tpu.io.seqdb import encode_seq
 
-    index = MinimizerIndex.load(args.index)
+    index = _load_index(args.index)
     k = index.k
     out = open(args.outfile, "w") if args.outfile else sys.stdout
 
@@ -225,7 +229,7 @@ def extract_index_unitigs(argv: List[str]) -> int:
     from finito_tpu.io.fastx import SequenceWriter
     from finito_tpu.io.seqdb import decode_seq
 
-    index = MinimizerIndex.load(args.index)
+    index = _load_index(args.index)
     with SequenceWriter(args.outfile) as w:
         start = 0
         for uid, e in enumerate(index.ends):
@@ -238,6 +242,21 @@ def extract_index_unitigs(argv: List[str]) -> int:
             w.write_record(header, seq)
             start = int(e)
     return 0
+
+
+
+
+def _load_index(path: str):
+    """Load a finito FTMIDX index, or import a Rust KMIDXv01 file
+    (one-way; see finito_tpu/io/kmidx.py for the verification status)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == b"KMIDXv01":
+        from finito_tpu.io.kmidx import import_kmidx
+
+        sys.stderr.write("Importing Rust KMIDXv01 index (rebuilding hash-slot table)\n")
+        return import_kmidx(path)
+    return MinimizerIndex.load(path)
 
 
 COMMANDS = {

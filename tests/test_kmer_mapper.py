@@ -182,3 +182,57 @@ def test_matches_search_fmin_on_random_dspss(tmp_path):
             for pair in line.split()
         ]
         assert got == want, qs
+
+
+def test_kmidx_import_roundtrip(tmp_path):
+    """KMIDXv01 framing: write_kmidx emits the Rust layout (with a
+    structurally-valid placeholder MPHF blob), import_kmidx rebuilds a
+    finito index whose occurrence set matches the stored locations, and
+    `kmer-mapper query` auto-detects the file and answers identically to
+    the FTMIDX pipeline."""
+    import numpy as np
+
+    from finito_tpu.io.kmidx import import_kmidx, write_kmidx
+    from finito_tpu.index.minimizer import MinimizerIndex
+    from finito_tpu import kmer_mapper
+
+    rng = np.random.default_rng(8)
+    k = 9
+    ends = np.cumsum(rng.integers(k, 120, size=20)).astype(np.int64)
+    concat = rng.integers(0, 4, size=int(ends[-1]), dtype=np.uint8)
+    index = MinimizerIndex.build(concat, ends, k)
+    index.headers = [f"u{i}".encode() for i in range(ends.size)]
+
+    p = str(tmp_path / "rust.kmidx")
+    write_kmidx(p, index)
+    imported = import_kmidx(p)
+    assert imported.k == index.k and imported.m == index.m
+    a = np.lexsort((index.occ_off, index.occ_uid))
+    b = np.lexsort((imported.occ_off, imported.occ_uid))
+    assert np.array_equal(index.occ_uid[a], imported.occ_uid[b])
+    assert np.array_equal(index.occ_off[a], imported.occ_off[b])
+
+    # CLI auto-detect: same answers from both containers
+    from finito_tpu.io.seqdb import decode_seq
+
+    reads = str(tmp_path / "q.fna")
+    with open(reads, "w") as f:
+        s = decode_seq(concat[: ends[0] if ends[0] >= k else int(ends[-1])]).decode()
+        f.write(f">q0\n{s[: 3 * k]}\n>q1\n{'A' * (k + 3)}\n")
+    ft = str(tmp_path / "ft.idx")
+    index.serialize(ft)
+    o1 = str(tmp_path / "o1.txt")
+    o2 = str(tmp_path / "o2.txt")
+    assert kmer_mapper.main(["query", "-i", ft, "-q", reads, "-o", o1]) == 0
+    assert kmer_mapper.main(["query", "-i", p, "-q", reads, "-o", o2]) == 0
+    assert open(o1).read() == open(o2).read()
+
+    # tampered blob framing fails loudly
+    raw = bytearray(open(p, "rb").read())
+    raw[8:16] = (99).to_bytes(8, "little")  # absurd kmer width
+    bad = str(tmp_path / "bad.kmidx")
+    open(bad, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="width"):
+        import_kmidx(bad)
