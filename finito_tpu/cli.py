@@ -217,7 +217,37 @@ def build_fmin(argv: List[str]) -> int:
         if t != 1:
             raise RuntimeError("t != 1 does not make sense with rarest type")
         db = SeqDB.from_file(infile)
-        builder = FinimizerIndexBuilder(sbwt, LCS, db)
+        # Recompute the sorted node keys from the unitigs so the builder
+        # resolves window colex ranks by one key merge instead of
+        # per-window SBWT search (the genome-scale fast path). The
+        # reconstruction doubles as a consistency check: it must
+        # reproduce the loaded SBWT bit-for-bit, else fall back.
+        node_keys = None
+        try:
+            starts_u = np.concatenate([[0], np.asarray(db.ends[:-1], np.int64)])
+            code_slices = [
+                db.concat[a:b] for a, b in zip(starts_u, np.asarray(db.ends, np.int64))
+            ]
+            from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+
+            sbwt2, node_keys = build_plain_matrix_sbwt(
+                code_slices, sbwt.get_k(), return_keys=True
+            )
+            if not (
+                sbwt2.number_of_subsets() == sbwt.number_of_subsets()
+                and np.array_equal(sbwt2.words, sbwt.words)
+            ):
+                write_log(
+                    "input .sbwt does not match the unitig set; "
+                    "falling back to SBWT-search rank resolution",
+                    LogLevel.MAJOR,
+                )
+                node_keys = None
+        except Exception as e:  # pragma: no cover - defensive
+            write_log(f"node-key reconstruction failed ({e}); using SBWT search",
+                      LogLevel.MAJOR)
+            node_keys = None
+        builder = FinimizerIndexBuilder(sbwt, LCS, db, node_keys=node_keys)
         index = builder.get_index()
         index.serialize(out_prefix)
         write_log(

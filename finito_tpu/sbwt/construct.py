@@ -124,7 +124,10 @@ def build_plain_matrix_sbwt(
 
     per_seq = []
     for s in seqs:
-        codes = encode_seq(s if isinstance(s, bytes) else s.encode())
+        if isinstance(s, np.ndarray):
+            codes = s  # pre-encoded 2-bit codes (e.g. SeqDB slices)
+        else:
+            codes = encode_seq(s if isinstance(s, bytes) else s.encode())
         if np.any(codes == 255):
             raise ValueError("Invalid character in input sequence (only ACGT allowed)")
         if codes.size >= k:
