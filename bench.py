@@ -140,6 +140,12 @@ def main() -> int:
         n_unknown = int(np.asarray(out[2]))
     if n_unknown > pipe.K:
         raise AssertionError("pipeline slow-path overflow after resize")
+    if len(out) > 3 and getattr(pipe, "K_heads", None):
+        n_heads = int(np.asarray(out[3]))
+        if n_heads > pipe.K_heads:
+            raise AssertionError(
+                f"run-head capacity overflow: {n_heads} > {pipe.K_heads}"
+            )
     uid = np.asarray(out[0])
     n_win = uid.shape[1]
     found_frac = float(np.mean(uid >= 0))

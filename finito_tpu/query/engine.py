@@ -240,25 +240,49 @@ class DeviceQueryEngine:
             from finito_tpu.query.minimizer_engine import (
                 DeviceMinimizerIndex,
                 make_minimizer_locate,
+                make_minimizer_locate_v2,
             )
 
             self._dmi = DeviceMinimizerIndex(MinimizerIndex.from_finimizer_index(index))
             dmi = self._dmi
+            # Past the measured v5e gather-rate cliff (~103 M/s under
+            # 32 MB -> ~63 M/s at 128 MB+) the run-deduplicated v2 form
+            # wins (+25% at a 16 Mbp index); below it v1's lower
+            # overhead wins (A/B in the round-2 log).
+            import os as _os
+
+            _ov = _os.environ.get("FINITO_MINIMIZER_V2")  # tests force either form
+            use_v2 = (
+                _ov == "1"
+                if _ov in ("0", "1")
+                else int(np.asarray(dmi.desc).nbytes) >= (64 << 20)
+            )
             mini_cache = {}
 
             def locate_minimizer(codes):
                 B, L = codes.shape
                 W = L - self.k + 1
                 K = max(256, (B * W) // 32)
+                KH = max(1024, (B * W) // 6)
                 while True:
-                    if K not in mini_cache:
-                        mini_cache[K] = make_minimizer_locate(dmi, K)
-                    uid, off, n_slow = mini_cache[K](codes)
-                    if int(n_slow) <= K:
+                    key = (K, KH, use_v2)
+                    if key not in mini_cache:
+                        mini_cache[key] = (
+                            make_minimizer_locate_v2(dmi, K, KH)
+                            if use_v2
+                            else make_minimizer_locate(dmi, K)
+                        )
+                    out = mini_cache[key](codes)
+                    uid, off, n_slow = out[0], out[1], int(out[2])
+                    n_heads = int(out[3]) if use_v2 else 0
+                    if n_slow <= K and n_heads <= KH:
                         return uid, off
-                    if K >= B * W:
+                    if K >= B * W and KH >= B * W:
                         raise AssertionError("slow-path overflow at K == B*W")
-                    K = min(B * W, K * 4)
+                    if n_slow > K:
+                        K = min(B * W, K * 4)
+                    if n_heads > KH:
+                        KH = min(B * W, max(KH * 2, n_heads))
 
             self._locate = locate_minimizer
         elif mode == "replica":
@@ -279,14 +303,23 @@ class DeviceQueryEngine:
         k = self.k
         W = read_len - k + 1
         if self.mode == "minimizer":
-            from finito_tpu.query.minimizer_engine import make_minimizer_locate
+            from finito_tpu.query.minimizer_engine import (
+                make_minimizer_locate,
+                make_minimizer_locate_v2,
+            )
 
             K = max(256, int(batch * W * unknown_frac))
-            jitted = make_minimizer_locate(self._dmi, K)
-
-            def pipe(codes):
-                return jitted(codes)
-
+            if int(np.asarray(self._dmi.desc).nbytes) >= (64 << 20):
+                # run-dedup form past the gather-rate cliff; heads are
+                # ~2/(k-m+2) of windows, sized with 40% headroom
+                KH = max(1024, int(batch * W * (2.8 / (self.k - self._dmi.m + 2))))
+                jitted = make_minimizer_locate_v2(self._dmi, K, KH)
+                pipe = lambda codes: jitted(codes)  # noqa: E731
+                pipe.K_heads = KH
+            else:
+                jitted = make_minimizer_locate(self._dmi, K)
+                pipe = lambda codes: jitted(codes)  # noqa: E731
+                pipe.K_heads = None
             pipe.K = K
             return pipe
         if self.mode == "replica":

@@ -231,3 +231,27 @@ def test_repeat_heavy_text_saturated_slots():
         f, _ = engine.search_fwd_rc(q)
         want = index.search(q)
         assert f.local_offsets == want.local_offsets, q[:20]
+
+
+def test_engine_v2_matches_oracle(monkeypatch):
+    """The run-deduplicated (v2) fast path behind the engine facade must
+    equal the host oracle exactly (small indexes pick v1 by size, so the
+    env override forces v2 here)."""
+    import numpy as np
+
+    from finito_tpu.query.engine import DeviceQueryEngine
+    from tests.test_device_engine import build_index, gen_dspss
+
+    monkeypatch.setenv("FINITO_MINIMIZER_V2", "1")
+    rng = np.random.default_rng(77)
+    k = 7
+    unitigs = gen_dspss(rng, 15, 12, 60, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    for _ in range(12):
+        if rng.random() < 0.5:
+            read = unitigs[int(rng.integers(len(unitigs)))].encode()
+        else:
+            read = "".join(rng.choice(list("ACGT"), int(rng.integers(k, 40)))).encode()
+        f, _r = engine.search_fwd_rc(read)
+        assert f.local_offsets == index.search(read).local_offsets, read
