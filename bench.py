@@ -28,19 +28,16 @@ NORTH_STAR_PER_CHIP = 100e6 / 16
 def gen_dspss(rng, genome_len: int, k: int, mean_unitig: int = 2000):
     """Random genome cut into unitigs overlapping by k-1 (k-mer set preserved,
     each k-mer occurs exactly once)."""
-    from finito_tpu import native
+    from finito_tpu.sbwt import keys as kw
 
     while True:
         genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
-        # verify k-mer distinctness (astronomically likely for k=31)
-        if k <= 31:
-            keys = np.zeros(genome_len - k + 1, dtype=np.uint64)
-            for i in range(k):
-                keys |= genome[i : genome_len - k + 1 + i].astype(np.uint64) << np.uint64(2 * i)
-            order = native.argsort_u64(keys)
-            s = keys[order] if order is not None else np.sort(keys)
-            if np.any(s[1:] == s[:-1]):
-                continue
+        # verify k-mer distinctness (astronomically likely for k=31);
+        # native rolling pack + radix sort, one pass each
+        wk = kw.sort_keys(kw.pack_windows(genome, k))
+        if np.any(kw.eq_adjacent(wk)):
+            continue
+        del wk
         break
     cuts = [0]
     while cuts[-1] < genome_len - k:
@@ -66,6 +63,10 @@ def main() -> int:
     p.add_argument("--mutate", type=float, default=0.005)
     p.add_argument("--engine", default="minimizer",
                    choices=["minimizer", "stream", "dense", "replica"])
+    p.add_argument("--cache-dir", default=None,
+                   help="cache the generated genome + built index per (genome,k) "
+                   "here; genome-scale host builds on this microVM are "
+                   "fault-bound and worth reusing")
     args = p.parse_args()
 
     # Persistent compilation cache: remote TPU compiles here cost ~30-60s
@@ -84,24 +85,47 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     t_start = time.perf_counter()
-    genome, unitigs = gen_dspss(rng, args.genome, args.k)
 
     from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.index.index import FinimizerIndex
     from finito_tpu.io.seqdb import SeqDB
     from finito_tpu.query.engine import DeviceQueryEngine
     from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
     from finito_tpu.sbwt.lcs import lcs_array
 
-    t0 = time.perf_counter()
-    sbwt, node_keys = build_plain_matrix_sbwt(unitigs, args.k, return_keys=True)
-    lcs = lcs_array(sbwt)
-    index = FinimizerIndexBuilder(
-        sbwt, lcs, SeqDB.from_sequences(unitigs), node_keys=node_keys
-    ).get_index()
-    build_s = time.perf_counter() - t0
+    import os
+
+    cache_prefix = genome_cache = None
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        tag = f"g{args.genome}_k{args.k}"
+        cache_prefix = os.path.join(args.cache_dir, f"idx_{tag}")
+        genome_cache = os.path.join(args.cache_dir, f"genome_{tag}.npy")
+
+    if cache_prefix and os.path.exists(cache_prefix + ".sbwt") and os.path.exists(genome_cache):
+        genome = np.load(genome_cache)
+        t0 = time.perf_counter()
+        index = FinimizerIndex.load(cache_prefix)
+        build_s = time.perf_counter() - t0
+        sys.stderr.write(f"[bench] index loaded from cache in {build_s:.1f}s\n")
+        sbwt = index.sbwt
+        n_unitigs = int(np.asarray(index.unitigs.ends).size)
+    else:
+        genome, unitigs = gen_dspss(rng, args.genome, args.k)
+        t0 = time.perf_counter()
+        sbwt, node_keys = build_plain_matrix_sbwt(unitigs, args.k, return_keys=True)
+        lcs = lcs_array(sbwt)
+        index = FinimizerIndexBuilder(
+            sbwt, lcs, SeqDB.from_sequences(unitigs), node_keys=node_keys
+        ).get_index()
+        build_s = time.perf_counter() - t0
+        n_unitigs = len(unitigs)
+        if cache_prefix:
+            index.serialize(cache_prefix)
+            np.save(genome_cache, genome)
     sys.stderr.write(
-        f"[bench] index built in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "
-        f"{sbwt.number_of_kmers()} kmers, {len(unitigs)} unitigs\n"
+        f"[bench] index ready in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "
+        f"{sbwt.number_of_kmers()} kmers, {n_unitigs} unitigs\n"
     )
 
     t0 = time.perf_counter()
