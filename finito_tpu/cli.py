@@ -316,23 +316,35 @@ def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None)
         number_of_queries += tot_kmers
 
     if engine is not None:
+        from finito_tpu import native
+
         fmt = "(%d,%d)".__mod__
 
         def emit_batch(reads_chunk):
             nonlocal total_positive, kmers_count, kmers_count_rev, number_of_queries
-            for res in engine.locate_reads_arrays(reads_chunk):
-                if res is None:
-                    out.write("\n")
-                    continue
-                fu, fp, ru, rp, nf, nr = res
-                absent = fu == -1
-                u = np.where(absent, ru[::-1], fu)
-                p = np.where(absent, rp[::-1], fp)
-                total_positive += int(np.count_nonzero(u != -1))
-                kmers_count += nf
-                kmers_count_rev += nr
-                number_of_queries += int(u.size)
-                out.write(" ".join(map(fmt, zip(u.tolist(), p.tolist()))) + "\n")
+            line_lens, u, p, kf, kr = engine.merged_pairs_flat(reads_chunk)
+            total_positive += int(np.count_nonzero(u != -1))
+            kmers_count += kf
+            kmers_count_rev += kr
+            number_of_queries += int(u.size)
+            blob = native.format_pairs(u, p, line_lens)
+            if blob is not None:
+                buf = getattr(out, "buffer", None)
+                if buf is not None:
+                    out.flush()
+                    buf.write(blob)
+                else:
+                    out.write(blob.decode("ascii"))
+                return
+            # Python fallback: per-line join over the flat streams
+            pos = 0
+            for n in line_lens.tolist():
+                out.write(
+                    " ".join(map(fmt, zip(u[pos : pos + n].tolist(),
+                                          p[pos : pos + n].tolist())))
+                    + "\n"
+                )
+                pos += n
 
         pending: List[bytes] = []
         for _h, read in reader:

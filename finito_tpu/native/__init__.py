@@ -90,6 +90,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fin_window_min.argtypes = [i64p, i64p, i64, i64, i64, i64p]
         lib.fin_minimizer_positions.restype = i64
         lib.fin_minimizer_positions.argtypes = [u32p, i64p, i64, i64, i64, i64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.fin_format_pairs.restype = i64
+        lib.fin_format_pairs.argtypes = [i32p, i32p, i64p, i64, u8p]
         lib.fin_lower_bound.restype = None
         lib.fin_lower_bound.argtypes = [u64p, i64, u64p, i64, i64, i64p]
         lib.fin_scatter_max.restype = None
@@ -243,6 +246,28 @@ def window_min(cand_key, ends, k: int, bigkey: int):
     out = np.empty(n_windows, dtype=np.int64)
     lib.fin_window_min(_i64p(cand_key), _i64p(ends), int(ends.size), k, bigkey, _i64p(out))
     return out
+
+
+def format_pairs(u, p, line_lens):
+    """Render '(u,p) (u,p) ...\\n' output lines (empty line for a zero
+    count) from flat int32 pair streams; returns bytes, or None without
+    the native library."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, dtype=np.int32)
+    p = np.ascontiguousarray(p, dtype=np.int32)
+    line_lens = np.ascontiguousarray(line_lens, dtype=np.int64)
+    out = np.empty(27 * int(u.size) + int(line_lens.size) + 1, dtype=np.uint8)
+    n = lib.fin_format_pairs(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _i64p(line_lens), int(line_lens.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:n].tobytes()
 
 
 def lower_bound(A_sorted, B_sorted):

@@ -256,4 +256,41 @@ int64_t fin_minimizer_positions(const uint32_t* hv, const int64_t* ends,
     return count;
 }
 
+// Render search-fmin output lines: for each line i with line_lens[i]
+// pairs, writes "(u,p) (u,p) ...\n" (empty line for 0 pairs) from the
+// flat u/p streams. Returns bytes written (caller sizes out as
+// 27*n_pairs + n_lines, the worst case for two int32s per pair).
+int64_t fin_format_pairs(const int32_t* u, const int32_t* p,
+                         const int64_t* line_lens, int64_t n_lines,
+                         uint8_t* out) {
+    uint8_t* w = out;
+    auto put_int = [&w](int64_t v) {
+        if (v < 0) {
+            *w++ = '-';
+            v = -v;
+        }
+        uint8_t tmp[12];
+        int t = 0;
+        do {
+            tmp[t++] = (uint8_t)('0' + v % 10);
+            v /= 10;
+        } while (v);
+        while (t) *w++ = tmp[--t];
+    };
+    int64_t idx = 0;
+    for (int64_t i = 0; i < n_lines; i++) {
+        const int64_t n = line_lens[i];
+        for (int64_t j = 0; j < n; j++, idx++) {
+            if (j) *w++ = ' ';
+            *w++ = '(';
+            put_int(u[idx]);
+            *w++ = ',';
+            put_int(p[idx]);
+            *w++ = ')';
+        }
+        *w++ = '\n';
+    }
+    return (int64_t)(w - out);
+}
+
 }  // extern "C"

@@ -444,6 +444,44 @@ class DeviceQueryEngine:
                 )
         return out
 
+    def merged_pairs_flat(self, reads: Sequence[bytes]):
+        """Bulk-output form of the fwd+RC merge: returns
+        (line_lens, u_flat, p_flat, kmers_fwd, kmers_rc) where
+        line_lens[i] is the pair count of read i (0 for short/invalid
+        reads, which emit an empty line) and the flat int32 streams hold
+        the merged (u, p) pairs in read order -- two fancy-indexes per
+        strand instead of a Python loop per read (the CLI's end-to-end
+        throughput is set by this path plus the native line formatter)."""
+        k = self.k
+        line_lens = np.zeros(len(reads), np.int64)
+        batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
+        if uid_b is None:
+            z = np.zeros(0, np.int32)
+            return line_lens, z, z, 0, 0
+        uid_b = np.asarray(uid_b)
+        off_b = np.asarray(off_b)
+        B = len(batch_codes)
+        lens = np.array([c.size - k + 1 for c in batch_codes], dtype=np.int64)
+        line_lens[np.asarray(batch_idx, dtype=np.int64)] = lens
+        total = int(lens.sum())
+        j_of = np.repeat(np.arange(B), lens)
+        w_of = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        uf = uid_b[j_of, w_of]
+        of_ = off_b[j_of, w_of]
+        w_rc = lens[j_of] - 1 - w_of
+        ur = uid_b[B + j_of, w_rc]
+        orr = off_b[B + j_of, w_rc]
+        absent = uf == -1
+        u = np.where(absent, ur, uf).astype(np.int32)
+        p = np.where(absent, orr, of_).astype(np.int32)
+        return (
+            line_lens, u, p,
+            int(np.count_nonzero(uf >= 0)),
+            int(np.count_nonzero(ur >= 0)),
+        )
+
     def process_reads(self, reads: Sequence[bytes]) -> List[Tuple[QueryResult, QueryResult]]:
         k = self.k
         # reference: short reads emit nothing; invalid reads return {}

@@ -122,3 +122,45 @@ def test_bad_variant_header(tmp_path):
 
 def test_unknown_command(capsys):
     assert main(["frobnicate"]) == 1
+
+
+def test_search_fmin_native_and_python_output_equal(tmp_path, monkeypatch):
+    """The native line formatter + flat merge must produce byte-identical
+    search-fmin output to the Python fallback (incl. short/invalid reads
+    emitting empty lines)."""
+    import os
+
+    import numpy as np
+
+    from finito_tpu.cli import main
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(23)
+    k = 5
+    unitigs = gen_dspss(rng, 10, 8, 40, k)
+    fna = str(tmp_path / "u.fna")
+    with open(fna, "w") as f:
+        for i, u in enumerate(unitigs):
+            f.write(f">u{i}\n{u}\n")
+    q = str(tmp_path / "q.fna")
+    with open(q, "w") as f:
+        f.write(f">q0\n{unitigs[0]}\n>q1\nAC\n>q2\nACGTNNACGT\n")
+        f.write(f">q3\n{unitigs[1]}\n")
+    sbwt_f, prefix = str(tmp_path / "x.sbwt"), str(tmp_path / "p")
+    assert main(["sbwt-build", "-k", str(k), "-i", fna, "-o", sbwt_f]) == 0
+    assert main(["build-fmin", "-o", prefix, "-i", sbwt_f, "-u", fna]) == 0
+    o_nat = str(tmp_path / "nat.txt")
+    assert main(["search-fmin", "-o", o_nat, "-i", prefix, "-q", q,
+                 "--engine", "minimizer"]) == 0
+    o_py = str(tmp_path / "py.txt")
+    monkeypatch.setenv("FINITO_NO_NATIVE", "1")
+    assert main(["search-fmin", "-o", o_py, "-i", prefix, "-q", q,
+                 "--engine", "minimizer"]) == 0
+    monkeypatch.delenv("FINITO_NO_NATIVE")
+    a, b = open(o_nat).read(), open(o_py).read()
+    assert a == b
+    assert a.count("\n") == 4
+    # short read -> empty line; oracle engine agrees too
+    o_orc = str(tmp_path / "orc.txt")
+    assert main(["search-fmin", "-o", o_orc, "-i", prefix, "-q", q]) == 0
+    assert open(o_orc).read() == a
