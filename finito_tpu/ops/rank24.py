@@ -35,15 +35,26 @@ RANK24_MAX_NODES = 1 << 24
 
 
 def build_rank24_tables(bit_rows: np.ndarray) -> np.ndarray:
-    """(R, n) 0/1 -> flat (R * n8,) uint32 packed rank|byte entries
-    (R = 4 for the SBWT out-edge matrix; R = 1 for a plain bitvector)."""
+    """(R, n) 0/1 -> rank entries, one per 8 positions per row
+    (R = 4 for the SBWT out-edge matrix; R = 1 for a plain bitvector).
+
+    Two forms, chosen by size and told apart by ndim (static at trace
+    time in rank24/rank1):
+      * n <  2^24: flat (R * n8,) uint32, entry = rank << 8 | byte
+        (ONE scalar gather per rank);
+      * n >= 2^24: "wide" (R * n8, 2) uint32 rows [rank, byte]
+        (one (n,2) row gather, ~1.3x a scalar gather) -- lifts the
+        round-1 2^24-node cap for the stream/replica engines at
+        genome scale."""
     n = bit_rows.shape[1]
-    if n >= RANK24_MAX_NODES:
-        raise ValueError(f"rank24 supports < 2^24 nodes, got {n}")
+    wide = n >= RANK24_MAX_NODES
     n8 = (n + 7) // 8 + 1  # pad entry so i == n is addressable
-    out = np.zeros((bit_rows.shape[0], n8), dtype=np.uint32)
+    R = bit_rows.shape[0]
+    out = np.zeros((R, n8, 2), dtype=np.uint32) if wide else np.zeros(
+        (R, n8), dtype=np.uint32
+    )
     weights = (1 << np.arange(8)).astype(np.uint32)
-    for c in range(bit_rows.shape[0]):
+    for c in range(R):
         padded = np.zeros(n8 * 8, dtype=np.uint8)
         padded[:n] = bit_rows[c]
         by = padded.reshape(n8, 8)
@@ -51,14 +62,22 @@ def build_rank24_tables(bit_rows: np.ndarray) -> np.ndarray:
         counts = by.sum(axis=1, dtype=np.int64)
         csum = np.zeros(n8, dtype=np.int64)
         np.cumsum(counts[:-1], out=csum[1:])
-        out[c] = (csum.astype(np.uint32) << np.uint32(8)) | byte_vals
-    return out.reshape(-1)
+        if wide:
+            out[c, :, 0] = csum.astype(np.uint32)
+            out[c, :, 1] = byte_vals
+        else:
+            out[c] = (csum.astype(np.uint32) << np.uint32(8)) | byte_vals
+    return out.reshape(-1, 2) if wide else out.reshape(-1)
 
 
 def rank24(tab: jnp.ndarray, n8: int, c, i):
-    """Batched rank_c(i) in one gather. c int32 in [0,4), i in [0, n]."""
-    e = jnp.take(tab, c * n8 + (i >> 3))
+    """Batched rank_c(i) in one gather. c int32 in [0,4), i in [0, n].
+    Accepts both table forms (ndim is static under jit)."""
     mask = (jnp.uint32(1) << (i & 7).astype(jnp.uint32)) - jnp.uint32(1)
+    if tab.ndim == 2:  # wide form: [rank, byte] rows
+        e = jnp.take(tab, c * n8 + (i >> 3), axis=0)
+        return (e[..., 0] + lax.population_count(e[..., 1] & mask)).astype(jnp.int32)
+    e = jnp.take(tab, c * n8 + (i >> 3))
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
 
 

@@ -67,9 +67,12 @@ def build_su_table(LCS: np.ndarray) -> np.ndarray:
 
 
 def rank1(tab, i):
-    """Batched rank over a single-bitvector rank24 table."""
-    e = jnp.take(tab, i >> 3)
+    """Batched rank over a single-bitvector rank24 table (both forms)."""
     mask = (jnp.uint32(1) << (i & 7).astype(jnp.uint32)) - jnp.uint32(1)
+    if tab.ndim == 2:  # wide form past 2^24 bits
+        e = jnp.take(tab, i >> 3, axis=0)
+        return (e[..., 0] + lax.population_count(e[..., 1] & mask)).astype(jnp.int32)
+    e = jnp.take(tab, i >> 3)
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
 
 
