@@ -102,24 +102,51 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
     import jax
 
     from finito_tpu.io.seqdb import encode_seq
-    from finito_tpu.query.minimizer_engine import DeviceMinimizerIndex, make_minimizer_locate
+    from finito_tpu.query.minimizer_engine import (
+        DeviceMinimizerIndex,
+        make_minimizer_locate,
+        make_minimizer_locate_v2,
+    )
 
     k = index.k
     dmi = DeviceMinimizerIndex(index)
+    # run-dedup form past the gather cliff (same policy as the engine;
+    # FINITO_MINIMIZER_V2=0/1 forces either form for tests)
+    import os as _os
+
+    _ov = _os.environ.get("FINITO_MINIMIZER_V2")
+    use_v2 = (
+        _ov == "1"
+        if _ov in ("0", "1")
+        else int(np.asarray(dmi.desc).nbytes) >= (64 << 20)
+    )
     cache = {}
 
     def locate_batch(codes: np.ndarray):
         B, L = codes.shape
         W = L - k + 1
         K = max(256, (B * W) // 16)
+        KH = max(1024, (B * W) // 6)
         while True:
-            key = (K, B, L)
+            key = (K, KH, B, L)
             if key not in cache:
-                cache[key] = make_minimizer_locate(dmi, K, count_occurrences=True)
-            uid, off, n_slow, cnt = cache[key](codes)
-            if int(n_slow) <= K:
+                cache[key] = (
+                    make_minimizer_locate_v2(dmi, K, KH, count_occurrences=True)
+                    if use_v2
+                    else make_minimizer_locate(dmi, K, count_occurrences=True)
+                )
+            out = cache[key](codes)
+            if use_v2:
+                uid, off, n_slow, n_heads, cnt = out
+            else:
+                uid, off, n_slow, cnt = out
+                n_heads = 0
+            if int(n_slow) <= K and int(n_heads) <= KH:
                 return np.asarray(uid), np.asarray(off), np.asarray(cnt)
-            K = min(B * W, K * 4)
+            if int(n_slow) > K:
+                K = min(B * W, K * 4)
+            if int(n_heads) > KH:
+                KH = min(B * W, max(KH * 2, int(n_heads)))
 
     answers = []
     batch_idx, batch_codes = [], []

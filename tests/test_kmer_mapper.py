@@ -236,3 +236,39 @@ def test_kmidx_import_roundtrip(tmp_path):
 
     with _pytest.raises(IOError, match="width"):
         import_kmidx(bad)
+
+
+def test_query_v2_form_matches_v1(tmp_path, monkeypatch):
+    """kmer-mapper query through the run-deduplicated engine form (forced
+    via env) must produce identical output, including the exact
+    multi-occurrence counting used for the 'occurs in N unitigs' error."""
+    import numpy as np
+
+    from finito_tpu import kmer_mapper
+    from tests.test_device_engine import gen_dspss
+
+    rng = np.random.default_rng(12)
+    k = 7
+    unitigs = gen_dspss(rng, 12, 10, 50, k)
+    fna = str(tmp_path / "u.fna")
+    with open(fna, "w") as f:
+        for i, u in enumerate(unitigs):
+            f.write(f">u{i}\n{u}\n")
+    reads = str(tmp_path / "q.fna")
+    with open(reads, "w") as f:
+        for i in range(9):
+            if i % 2 == 0:
+                f.write(f">q{i}\n{unitigs[int(rng.integers(len(unitigs)))]}\n")
+            else:
+                s = "".join(rng.choice(list("ACGT"), int(rng.integers(k, 35))))
+                f.write(f">q{i}\n{s}\n")
+    idx = str(tmp_path / "km.idx")
+    assert kmer_mapper.main(["build", "-u", fna, "-k", str(k), "-o", idx]) == 0
+    outs = {}
+    for form in ("0", "1"):
+        monkeypatch.setenv("FINITO_MINIMIZER_V2", form)
+        o = str(tmp_path / f"o{form}.txt")
+        assert kmer_mapper.main(["query", "-i", idx, "-q", reads, "-r", "-o", o]) == 0
+        outs[form] = open(o).read()
+    assert outs["0"] == outs["1"]
+    assert outs["0"].count("\n") == 9
