@@ -39,12 +39,30 @@ from finito_tpu.ops.rank24 import update_interval24
 UNKNOWN = -2
 
 
+def blocked_cumsum_i32(x):
+    """Inclusive cumsum of a flat int32 array via a 2-level blocked scan.
+
+    XLA lowers a long 1-D cumsum on TPU as a serial slice-reduce chain
+    (~2.4 ms at 802k elements); reshaping to (rows, 128) and scanning
+    rows in parallel + a short scan over row totals runs near VPU speed.
+    Pads internally; returns the same length as x."""
+    n = x.size
+    C = 128
+    rows = -(-n // C)
+    xp = jnp.zeros(rows * C, jnp.int32).at[:n].set(x.astype(jnp.int32))
+    m = xp.reshape(rows, C)
+    within = jnp.cumsum(m, axis=1)  # parallel across rows
+    row_tot = within[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot  # short 1-D scan (rows elems)
+    return (within + row_off[:, None]).reshape(-1)[:n]
+
+
 def compact_mask(mask, K: int):
     """Indices of the first K set positions of a flat bool mask, padded
-    with -1, plus the true count. Hand-rolled cumsum+scatter: XLA lowers
-    jnp.nonzero(size=K) through a sort (~17ms at 1.6M elements on v5e vs
-    ~10ms for this form)."""
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    with -1, plus the true count. Hand-rolled blocked-cumsum + scatter:
+    XLA lowers jnp.nonzero(size=K) through a sort (~17ms at 1.6M
+    elements on v5e vs ~4ms for this form)."""
+    pos = blocked_cumsum_i32(mask.astype(jnp.int32)) - 1
     n = jnp.where(mask.size > 0, pos[-1] + 1, 0)
     sink = jnp.where(mask & (pos < K), pos, K)
     out = jnp.full(K, -1, jnp.int32).at[sink].set(

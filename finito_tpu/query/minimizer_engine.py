@@ -305,11 +305,13 @@ def make_minimizer_locate_v2(
         # ---- run heads: pm = in-read m-mer position of the minimizer;
         # non-decreasing, so one cumsum yields head ordinals AND the
         # head -> flat-window compaction
+        from finito_tpu.ops.streaming import blocked_cumsum_i32
+
         pm = best_o + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         head = jnp.concatenate(
             [jnp.ones((B, 1), jnp.bool_), pm[:, 1:] != pm[:, :-1]], axis=1
         ).reshape(-1)
-        ord_flat = jnp.cumsum(head.astype(jnp.int32)) - 1  # head ordinal per window
+        ord_flat = blocked_cumsum_i32(head.astype(jnp.int32)) - 1  # head ordinal per window
         n_heads = ord_flat[-1] + 1
         BW = B * W
         head_pos = jnp.full((K_heads,), 0, jnp.int32)
@@ -325,10 +327,20 @@ def make_minimizer_locate_v2(
         # zeroed by `bad` after redistribution.
         h_v = jnp.take(best_v.reshape(-1), head_pos)
         slot = (slot32_device(h_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
-        d = jnp.take(dmi.desc, slot)
+        # desc[slot] and desc[slot+1] in ONE sliced gather (slice size 2)
+        pair = lax.gather(
+            dmi.desc,
+            slot[:, None],
+            lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+            ),
+            slice_sizes=(2,),
+            mode="clip",
+        )
+        d = pair[:, 0]
         h_start = (d >> _LEN_BITS).astype(jnp.int32)
         h_ln = (d & _LEN_MAX).astype(jnp.int32)
-        h_end = (jnp.take(dmi.desc, slot + 1) >> _LEN_BITS).astype(jnp.int32)
+        h_end = (pair[:, 1] >> _LEN_BITS).astype(jnp.int32)
         row = jnp.take(dmi.occ_rows, jnp.where(h_ln == 1, h_start, 0), axis=0)
         head_table = jnp.stack(
             [h_start, h_ln, h_end, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
@@ -362,50 +374,128 @@ def make_minimizer_locate_v2(
         uid = jnp.where(found_f, uid_m, neg)
         off = jnp.where(found_f, off_w, neg)
 
-        # ---- slow path: identical to v1, with the exact slot end
-        # propagated from the head instead of a second desc gather
-        slow_mask = (ln >= 2).reshape(-1)
-        flat_idx, n_slow = compact_mask(slow_mask, K_slow)
-        valid = flat_idx >= 0
-        safe = jnp.where(valid, flat_idx, 0)
-        s_start = jnp.take(start.reshape(-1), safe)
-        s_end = jnp.take(s_end_w, safe)
-        s_o = jnp.take(best_o.reshape(-1), safe)
-        s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
+        # ---- slow path, RUN-LEVEL: slow-ness is a property of the RUN
+        # (its minimizer's slot), so slow runs are compacted on the HEAD
+        # domain (~R fewer lanes than windows, and no second full-domain
+        # compaction), and each candidate occurrence is verified against
+        # the run's whole text span at once -- per-window matches fall
+        # out of a mismatch bitmap with STATIC per-(t, word) masks.
+        R_run = k - dmi.m + 1  # max windows sharing one minimizer
+        NW_SPAN = (2 * (k + R_run - 1) + 31) // 32 + 1
+
+        valid_h = jnp.arange(K_heads, dtype=jnp.int32) < n_heads
+        sh_idx, n_slow = compact_mask(valid_h & (h_ln >= 2), K_slow)
+        sh_valid = sh_idx >= 0
+        sj = jnp.where(sh_valid, sh_idx, 0)
+        s_start = jnp.take(h_start, sj)
+        s_end = jnp.minimum(jnp.take(h_end, sj), jnp.int32(n_occ))
+        f0 = jnp.take(head_pos, sj)  # first window of the run (flat)
+        nxt = jnp.take(head_pos, jnp.minimum(sj + 1, K_heads - 1))
+        r_len = jnp.clip(
+            jnp.where(sj + 1 < n_heads, nxt, jnp.int32(BW)) - f0, 0, R_run
+        )
+        o_h = jnp.take(best_o.reshape(-1), f0)  # head window's minimizer offset
+
+        # packed read words (16 chars/word, LSB-first), shared by all runs
+        NL = (L + 15) // 16 + NW_SPAN + 1
+        cp = jnp.pad(c & jnp.uint32(3), ((0, 0), (0, NL * 16 - L)))
+        rw = (
+            cp.reshape(B, NL, 16)
+            << (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        ).sum(axis=2, dtype=jnp.uint32).reshape(-1)
+        b_of = f0 // W
+        w0c = f0 - b_of * W  # span starts at the run's first window char
+        rbase = b_of * NL + (w0c >> 4)
+        rsh = (2 * (w0c & 15)).astype(jnp.uint32)
+        rnz = rsh > 0
+        rinv = jnp.where(rnz, jnp.uint32(32) - rsh, jnp.uint32(0))
+        span_read = []
+        prev_r = jnp.take(rw, rbase)
+        for iw in range(NW_SPAN):
+            cur_r = jnp.take(rw, rbase + iw + 1)
+            span_read.append(
+                (prev_r >> rsh) | jnp.where(rnz, cur_r << rinv, jnp.uint32(0))
+            )
+            prev_r = cur_r
+
+        # static masks: chars [t, t+k) of the span, mismatch bits at even
+        # positions (char j -> bit 2j of word (2j)>>5)
+        masks_np = np.zeros((R_run, NW_SPAN), np.uint32)
+        for t in range(R_run):
+            for j in range(t, t + k):
+                masks_np[t, (2 * j) >> 5] |= np.uint32(1 << ((2 * j) & 31))
+        MASKS = jnp.asarray(masks_np)  # (R_run, NW_SPAN), tiny constant
+
+        t_idx = jnp.arange(R_run, dtype=jnp.int32)[None, :]
+        base_live = sh_valid[:, None] & (t_idx < r_len[:, None])
 
         def cond(st):
-            i, uid, off, cnt, done = st
-            return jnp.any(~done)
+            i, uid_s, off_s, cnt_s, done_s = st
+            scanning = sh_valid & (i < s_end)
+            if not count_occurrences:
+                scanning = scanning & jnp.any(base_live & ~done_s, axis=1)
+            return jnp.any(scanning)
 
         def body(st):
-            i, uid, off, cnt, done = st
-            in_range = ~done & (i < s_end) & (i < n_occ)
-            ci = jnp.where(in_range, i, 0)
-            match, uid_c, off_c = _check_candidate(dmi, ci, s_o, s_qw, masks, k)
-            hit = in_range & match
-            first = hit & (cnt == 0)
-            uid = jnp.where(first, uid_c, uid)
-            off = jnp.where(first, off_c, off)
-            cnt = cnt + hit.astype(jnp.int32)
+            i, uid_s, off_s, cnt_s, done_s = st
+            active = sh_valid & (i < s_end)
+            ci = jnp.where(active, i, 0)
+            row = jnp.take(dmi.occ_rows, ci, axis=0)  # (K_slow, 4)
+            g_m, uid_m, off_m, uend = row[:, 0], row[:, 1], row[:, 2], row[:, 3]
+            g0 = g_m - o_h
+            off0 = off_m - o_h
+            # g0 can be NEGATIVE (candidate offset below the head's
+            # minimizer offset); signed floor word/base keeps the span
+            # ALIGNED, and each word fetch clamps individually -- the
+            # garbage words land only on span chars before text start,
+            # which belong to t values the validity check rejects.
+            g2 = g0 * 2
+            tw0 = g2 >> 5  # arithmetic shift = floor
+            tsh = (g2 & 31).astype(jnp.uint32)
+            tnz = tsh > 0
+            tinv = jnp.where(tnz, jnp.uint32(32) - tsh, jnp.uint32(0))
+            cntm = jnp.zeros((K_slow, R_run), jnp.int32)
+            prev_t = jnp.take(dmi.text, jnp.maximum(tw0, 0))
+            for iw in range(NW_SPAN):
+                cur_t = jnp.take(dmi.text, jnp.maximum(tw0 + iw + 1, 0))
+                tw = (prev_t >> tsh) | jnp.where(tnz, cur_t << tinv, jnp.uint32(0))
+                x = tw ^ span_read[iw]
+                mm = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+                cntm = cntm + lax.population_count(
+                    mm[:, None] & MASKS[None, :, iw]
+                ).astype(jnp.int32)
+                prev_t = cur_t
+            vt = (off0[:, None] + t_idx >= 0) & (
+                g0[:, None] + t_idx + k <= uend[:, None]
+            )
+            match = active[:, None] & base_live & vt & (cntm == 0)
+            newhit = match & (cnt_s == 0)
+            uid_s = jnp.where(newhit, uid_m[:, None], uid_s)
+            off_s = jnp.where(newhit, off0[:, None] + t_idx, off_s)
+            cnt_s = cnt_s + match.astype(jnp.int32)
             if not count_occurrences:
-                done = done | hit
-            done = done | (i + 1 >= s_end) | (i + 1 >= n_occ)
-            return i + 1, uid, off, cnt, done
+                done_s = done_s | match
+            return i + 1, uid_s, off_s, cnt_s, done_s
 
-        uid_s = jnp.full((K_slow,), -1, jnp.int32)
-        off_s = jnp.full((K_slow,), -1, jnp.int32)
-        cnt_s = jnp.zeros((K_slow,), jnp.int32)
+        uid_s = jnp.full((K_slow, R_run), -1, jnp.int32)
+        off_s = jnp.full((K_slow, R_run), -1, jnp.int32)
+        cnt_s = jnp.zeros((K_slow, R_run), jnp.int32)
         _, uid_s, off_s, cnt_s, _ = lax.while_loop(
-            cond, body, (s_start, uid_s, off_s, cnt_s, ~valid)
+            cond, body, (s_start, uid_s, off_s, cnt_s, ~base_live)
         )
 
-        scat = jnp.where(valid, flat_idx, BW)
-        uid = uid.reshape(-1).at[scat].set(uid_s, mode="drop")
-        off = off.reshape(-1).at[scat].set(off_s, mode="drop")
+        # scatter run results to their windows (bad windows keep -1/0)
+        f_t = f0[:, None] + t_idx
+        bad_t = jnp.take(
+            bad.reshape(-1), jnp.minimum(f_t, BW - 1).reshape(-1)
+        ).reshape(K_slow, R_run)
+        sink = jnp.where(base_live & ~bad_t, f_t, BW).reshape(-1)
+        uid = uid.reshape(-1).at[sink].set(uid_s.reshape(-1), mode="drop")
+        off = off.reshape(-1).at[sink].set(off_s.reshape(-1), mode="drop")
         if not count_occurrences:
             return uid.reshape(best_v.shape), off.reshape(best_v.shape), n_slow, n_heads
         cnt = found_f.astype(jnp.int32)
-        cnt = cnt.reshape(-1).at[scat].set(cnt_s, mode="drop")
+        cnt = cnt.reshape(-1).at[sink].set(cnt_s.reshape(-1), mode="drop")
         return (
             uid.reshape(best_v.shape),
             off.reshape(best_v.shape),
