@@ -155,7 +155,7 @@ def main() -> int:
     n_unknown = int(np.asarray(out[2]))
     # Right-size the repair/slow-path capacity to the workload (steady
     # state keeps one compiled program; its cost is proportional to K).
-    if args.engine in ("stream", "minimizer") and not (pipe.K // 2 <= n_unknown <= pipe.K):
+    if args.engine in ("stream", "minimizer", "replica") and not (pipe.K // 2 <= n_unknown <= pipe.K):
         frac = max(0.005, 1.3 * n_unknown / (B * (L - args.k + 1)))
         sys.stderr.write(f"[bench] resizing slow path: {n_unknown} -> frac {frac:.4f}\n")
         pipe = engine.make_device_pipeline(B, L, unknown_frac=frac)

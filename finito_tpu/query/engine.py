@@ -286,9 +286,25 @@ class DeviceQueryEngine:
 
             self._locate = locate_minimizer
         elif mode == "replica":
-            from finito_tpu.query.replica import make_replica_locate
+            from finito_tpu.query.replica import make_replica_locate_v2
 
-            self._locate = make_replica_locate(index)
+            rep_cache = {}
+            k = self.k
+
+            def locate_replica(codes):
+                B, L = codes.shape
+                K = max(1024, (B * (L - k + 1)) // 16)
+                while True:
+                    if K not in rep_cache:
+                        rep_cache[K] = make_replica_locate_v2(index, K)
+                    uid, off, n_seg = rep_cache[K](codes)
+                    if int(n_seg) <= K:
+                        return uid, off
+                    if K >= B * L:
+                        raise AssertionError("segment overflow at K == B*L")
+                    K = min(B * L, K * 4)
+
+            self._locate = locate_replica
         else:
             raise ValueError(f"unknown engine mode {mode}")
 
@@ -323,13 +339,12 @@ class DeviceQueryEngine:
             pipe.K = K
             return pipe
         if self.mode == "replica":
-            loc = self._locate
+            from finito_tpu.query.replica import make_replica_locate_v2
 
-            def pipe(codes):
-                uid, off = loc(codes)
-                return uid, off, jnp.int32(0)
-
-            pipe.K = batch * W
+            K = max(1024, int(batch * W * unknown_frac))
+            jitted = make_replica_locate_v2(self.index, K)
+            pipe = lambda codes: jitted(codes)  # noqa: E731
+            pipe.K = K
             return pipe
         if self.mode not in ("dense", "stream"):
             raise ValueError(f"no device pipeline for mode {self.mode}")

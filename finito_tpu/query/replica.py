@@ -51,6 +51,7 @@ from finito_tpu.ops.rank24 import (
     update_interval24,
     widen_interval,
 )
+from finito_tpu.ops.streaming import compact_mask
 
 _NO_CAND = 255  # cand_len sentinel (k <= 250 < 255)
 
@@ -74,6 +75,271 @@ def rank1(tab, i):
         return (e[..., 0] + lax.population_count(e[..., 1] & mask)).astype(jnp.int32)
     e = jnp.take(tab, i >> 3)
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
+
+
+def build_su_ustart_table(LCS: np.ndarray, Ustart: np.ndarray) -> np.ndarray:
+    """uint16 per node: SU length (low 8 bits) | Ustart bit << 8 -- one
+    gather serves both the candidate closed form and the branch carry."""
+    su = build_su_table(LCS).astype(np.uint16)
+    return su | (np.asarray(Ustart, np.uint16) << np.uint16(8))
+
+
+def make_replica_locate_v2(index, K_seg: int = 4096):
+    """Two-phase exact replica: optimistic chain + segment repair.
+
+    The round-1 replica ran the reference's drop-recovery `while_loop`
+    inside every scan step (nested three deep with the widen hops) and
+    measured 0.86 M q/s. This form runs the stream engine's optimistic
+    chain (3 gathers/base, no inner loops) and repairs only the
+    positions within k-1 after a chain failure -- maximal UNTRUSTED
+    segments, compacted to one lane each -- with the exact
+    recovery state machine in a single post-scan while_loop. Candidates
+    collapse to the closed form (SU[x], x) at singleton positions; the
+    Ustart carry and the per-window tuple-min run post-hoc on the
+    (B, L) candidate grid (VPU scans), and the dictionary resolution
+    tail is shared with the in-scan form.
+
+    Output contract: locate(codes) -> (uid, off, n_seg); results are
+    valid only when n_seg <= K_seg (caller resizes). Exactness is pinned
+    by differential tests vs make_replica_locate (the in-scan reference
+    twin) and the host oracle.
+    """
+    k = index.sbwt.get_k()
+    n_nodes = index.sbwt.number_of_subsets()
+    tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
+    n8 = tab.shape[0] // 4
+    C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
+    ck = jnp.asarray(build_contract_k_table(index.LCS, k))
+    jl_np, jr_np = build_lcs_jump_tables(index.LCS)
+    jl, jr = jnp.asarray(jl_np), jnp.asarray(jr_np)
+    suu = jnp.asarray(build_su_ustart_table(index.LCS, index.Ustart))
+    fmin_tab = jnp.asarray(build_rank24_tables(np.asarray(index.fmin, np.uint8)[None, :]))
+    ustart_tab = jnp.asarray(build_rank24_tables(np.asarray(index.Ustart, np.uint8)[None, :]))
+    goffs = jnp.asarray(index.global_offsets.astype(np.int64), dtype=jnp.int32)
+    ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
+
+    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends)
+    NEG = jnp.int32(-1)
+
+    # ---- phase A: optimistic chain (emit, cand_x, untrusted) ------------
+    def chain_opt(tab, C, ck, codes):
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
+
+        B, L = codes.shape
+
+        def step(carry, c):
+            lo, hi, ks, lastfail, j = carry
+            invalid = c > 3
+            nlo, nhi = upd(c, lo, hi)
+            failed = invalid | (nlo < 0)
+            mature = ks == j - k + 1
+            close = ~failed & (j - ks + 1 == k)
+            # status: rank on close; mature non-invalid failure is a
+            # DEFINITIVE absent; everything else unknown-until-repair
+            emit = jnp.where(
+                close, nlo, jnp.where(failed & mature & ~invalid, NEG, jnp.int32(-2))
+            )
+            emit = jnp.where(invalid, NEG, emit)
+            single = ~failed & (nlo == nhi)
+            cand = jnp.where(single, nlo, NEG)
+            lastfail2 = jnp.where(failed, j, lastfail)
+            untrusted = j - k + 1 <= lastfail2
+
+            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
+            lo2 = jnp.where(close, pair[:, 0], nlo)
+            hi2 = jnp.where(close, pair[:, 1], nhi)
+            ks2 = jnp.where(close, ks + 1, ks)
+            lo3 = jnp.where(failed, 0, lo2)
+            hi3 = jnp.where(failed, n_nodes - 1, hi2)
+            ks3 = jnp.where(failed, j + 1, ks2)
+            return (lo3, hi3, ks3, lastfail2, j + 1), (emit, cand, untrusted)
+
+        init = (
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, n_nodes - 1, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, -(k + 2), jnp.int32),
+            jnp.int32(0),
+        )
+        _, outs = lax.scan(step, init, codes.astype(jnp.int32).T)
+        return tuple(o.T for o in outs)  # each (B, L)
+
+    # ---- phase B: exact repair of untrusted segments --------------------
+    def repair(P, codes, emit, cand, untrusted):
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends) = P
+
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
+
+        B, L = codes.shape
+        flat_c = codes.reshape(-1).astype(jnp.int32)
+        u = untrusted
+        prev = jnp.concatenate([jnp.zeros((B, 1), jnp.bool_), u[:, :-1]], axis=1)
+        seg_start_mask = (u & ~prev).reshape(-1)
+        seg_idx, n_seg = compact_mask(seg_start_mask, K_seg)
+        sv = seg_idx >= 0
+        f_start = jnp.where(sv, seg_idx, 0)
+        b_of = f_start // L
+        p_start = f_start - b_of * L
+        # segment end: last untrusted position of the run = next trusted
+        # position - 1; scan from a per-read suffix structure is overkill
+        # -- the state machine just stops when it walks onto a trusted
+        # position or the read end.
+        j0 = jnp.maximum(p_start - (k - 1), 0)
+
+        def cond(st):
+            j, ks, lo, hi, rec, active, emit_f, cand_f = st
+            return jnp.any(active)
+
+        def body(st):
+            j, ks, lo, hi, rec, active, emit_f, cand_f = st
+            fj = b_of * L + jnp.minimum(j, L - 1)
+            c = jnp.where(active, jnp.take(flat_c, fj), 0)
+            invalid = c > 3
+
+            # recovery iteration: ks++, widen, retry handled next round
+            do_rec = active & rec
+            ks_r = jnp.where(do_rec, ks + 1, ks)
+            emptied = do_rec & (ks_r > j)
+            wlo, whi = widen_interval(
+                jl, jr, jnp.where(do_rec & ~emptied, lo, 0),
+                jnp.where(do_rec & ~emptied, hi, 0),
+                jnp.where(do_rec & ~emptied, j - ks_r, k + 1), n_nodes,
+            )
+            lo_r = jnp.where(do_rec & ~emptied, wlo, lo)
+            hi_r = jnp.where(do_rec & ~emptied, whi, hi)
+
+            # extension attempt (normal step, post-widen retry, or the
+            # emptied reset which consumes c with the full interval)
+            lo_t = jnp.where(emptied, 0, lo_r)
+            hi_t = jnp.where(emptied, n_nodes - 1, hi_r)
+            nlo, nhi = upd(c, lo_t, hi_t)
+            ok = active & ~invalid & (nlo >= 0) & ~emptied
+            fail_now = active & ~invalid & (nlo < 0) & ~emptied
+
+            ks2 = jnp.where(emptied, j + 1, ks_r)
+            single = ok & (nlo == nhi)
+            close = ok & (j - ks2 + 1 == k)
+            # record exact per-position values while inside the segment
+            in_seg = active & (j >= p_start)
+            rank_j = jnp.where(close, nlo, NEG)
+            cand_j = jnp.where(single, nlo, NEG)
+            sink = jnp.where(in_seg & (ok | invalid | emptied), fj, B * L)
+            emit_f = emit_f.at[sink].set(rank_j, mode="drop")
+            cand_f = cand_f.at[sink].set(cand_j, mode="drop")
+
+            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
+            lo2 = jnp.where(close, pair[:, 0], jnp.where(ok, nlo, lo_t))
+            hi2 = jnp.where(close, pair[:, 1], jnp.where(ok, nhi, hi_t))
+            ks3 = jnp.where(close, ks2 + 1, ks2)
+            # invalid char: reset like phase A
+            lo3 = jnp.where(invalid, 0, lo2)
+            hi3 = jnp.where(invalid, n_nodes - 1, hi2)
+            ks4 = jnp.where(invalid, j + 1, ks3)
+
+            advance = active & (ok | invalid | emptied)
+            j2 = jnp.where(advance, j + 1, j)
+            rec2 = fail_now
+            # stop when walking onto a trusted position past the segment
+            # run, or off the read end
+            past = advance & (
+                (j2 >= L) | ((j2 > p_start) & ~jnp.take(u.reshape(-1), jnp.minimum(b_of * L + jnp.minimum(j2, L - 1), B * L - 1)))
+            )
+            active2 = active & ~past
+            return j2, ks4, lo3, hi3, rec2, active2, emit_f, cand_f
+
+        emit_f = emit.reshape(-1)
+        cand_f = cand.reshape(-1)
+        st = (
+            j0,
+            j0,
+            jnp.zeros(K_seg, jnp.int32),
+            jnp.full(K_seg, n_nodes - 1, jnp.int32),
+            jnp.zeros(K_seg, jnp.bool_),
+            sv,
+            emit_f,
+            cand_f,
+        )
+        _, _, _, _, _, _, emit_f, cand_f = lax.while_loop(cond, body, st)
+        return emit_f.reshape(B, L), cand_f.reshape(B, L), n_seg
+
+    # ---- full locate ----------------------------------------------------
+    def run(P, codes):
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends) = P
+        B, L = codes.shape
+        W = L - k + 1
+        emit, cand, untrusted = chain_opt(tab, C, ck, codes)
+        emit, cand, n_seg = repair(P, codes, emit, cand, untrusted)
+
+        ranks = emit[:, k - 1 :]  # (B, W)
+        found = ranks >= 0
+
+        # candidate lengths + Ustart flags: one gather on the cand grid
+        safe_x = jnp.where(cand >= 0, cand, 0)
+        sw = jnp.take(suu, safe_x).astype(jnp.int32)
+        cl = jnp.where(cand >= 0, sw & 0xFF, _NO_CAND)
+        u_flag = (cand >= 0) & ((sw >> 8) & 1 == 1)
+
+        # rightmost Ustart singleton carry: "last non-null" associative scan
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        up0 = jnp.where(u_flag, jpos, NEG)
+        ux0 = jnp.where(u_flag, cand, 0)
+
+        def comb(a, b):
+            aj, ax = a
+            bj, bx = b
+            pick_b = bj >= 0
+            return jnp.where(pick_b, bj, aj), jnp.where(pick_b, bx, ax)
+
+        up, ux = lax.associative_scan(comb, (up0, ux0), axis=1)
+
+        cc = jnp.where(cand >= 0, cand, 0)
+        fin_len = jnp.full((B, W), _NO_CAND, jnp.int32)
+        fin_colex = jnp.zeros((B, W), jnp.int32)
+        fin_r = jnp.zeros((B, W), jnp.int32)
+        for r in range(k):
+            cl_r = lax.dynamic_slice_in_dim(cl, r, W, axis=1)
+            cc_r = lax.dynamic_slice_in_dim(cc, r, W, axis=1)
+            okc = cl_r <= r + 1
+            better = okc & ((cl_r < fin_len) | ((cl_r == fin_len) & (cc_r < fin_colex)))
+            fin_len = jnp.where(better, cl_r, fin_len)
+            fin_colex = jnp.where(better, cc_r, fin_colex)
+            fin_r = jnp.where(better, r, fin_r)
+
+        up_w = up[:, k - 1 :]
+        ux_w = ux[:, k - 1 :]
+        ws = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        use_branch = found & (up_w >= ws + fin_r)
+
+        safe_ux = jnp.where(use_branch, ux_w, 0)
+        urank = rank1(ustart_tab, safe_ux)
+        u_gstart = jnp.where(urank > 0, jnp.take(ends, jnp.maximum(urank - 1, 0)), 0)
+        g_end_branch = u_gstart + (k - 1) + ((ws + k - 1) - up_w)
+
+        safe_fx = jnp.where(found, fin_colex, 0)
+        frank = rank1(fmin_tab, safe_fx)
+        g_end_fin = jnp.take(goffs, jnp.clip(frank, 0, goffs.shape[0] - 1)) + (
+            (k - 1) - fin_r
+        )
+
+        g_end = jnp.where(use_branch, g_end_branch, g_end_fin)
+        g_start = g_end - k + 1
+        uid = jnp.searchsorted(ends, g_start, side="right").astype(jnp.int32)
+        u_start2 = jnp.where(uid > 0, jnp.take(ends, jnp.maximum(uid - 1, 0)), 0)
+        off = g_start - u_start2
+        return (
+            jnp.where(found, uid, NEG),
+            jnp.where(found, off, NEG),
+            n_seg,
+        )
+
+    jitted = jax.jit(run)
+
+    def locate(codes):
+        return jitted(params, jnp.asarray(codes))
+
+    return locate
 
 
 def make_replica_locate(index):

@@ -63,3 +63,46 @@ def test_replica_batched_mixed_lengths():
     for read, (f, _r) in zip(reads, out):
         want = index.search(read)
         assert f.local_offsets == want.local_offsets, read
+
+
+def test_replica_v2_matches_v1_and_oracle():
+    """The two-phase replica (optimistic chain + segment repair) must
+    equal the in-scan reference twin and the host oracle, including
+    heavy mutations (segment-dense), invalid chars, and pad tails."""
+    import numpy as np
+
+    from finito_tpu.query.replica import make_replica_locate, make_replica_locate_v2
+    from tests.test_device_engine import build_index, gen_dspss
+
+    rng = np.random.default_rng(41)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 12, 60, k)
+    index = build_index(unitigs, k)
+    B, L = 12, 40
+    reads = np.full((B, L), 255, np.uint8)
+    from finito_tpu.io.seqdb import decode_seq, encode_seq
+
+    concat = np.asarray(index.unitigs.concat)
+    for b in range(B):
+        u = encode_seq(unitigs[int(rng.integers(len(unitigs)))].encode())
+        n = min(u.size, L)
+        reads[b, :n] = u[:n]
+        for _ in range(int(rng.integers(0, 4))):  # mutations incl. dense
+            p = int(rng.integers(0, n))
+            reads[b, p] = (reads[b, p] + int(rng.integers(1, 4))) % 4
+        if b % 3 == 0:
+            reads[b, int(rng.integers(0, n))] = 255
+    v1 = make_replica_locate(index)
+    v2 = make_replica_locate_v2(index, K_seg=B * L)
+    u1, o1 = v1(reads)
+    u2, o2, n_seg = v2(reads)
+    assert int(n_seg) <= B * L
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    for b in range(0, B, 5):
+        if np.any(reads[b] > 3):
+            continue
+        res = index.search(decode_seq(reads[b]))
+        got = [(int(np.asarray(u2)[b, w]), int(np.asarray(o2)[b, w]))
+               for w in range(L - k + 1)]
+        assert got == res.local_offsets, b
