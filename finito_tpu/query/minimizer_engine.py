@@ -1,12 +1,20 @@
 """Device (JAX/TPU) query path for the minimizer seed-and-verify index.
 
-Per (B, W) window batch, entirely divergence-free on the fast path:
+Two locate forms, selected by the engine on the measured v5e gather-rate
+cliff (tables <= 32 MB gather at ~103-230 M/s, 128 MB+ at ~63 M/s):
+
+make_minimizer_locate (v1, small indexes) -- per (B, W) window batch,
+entirely divergence-free on the fast path:
 
   1. minimizer value+offset per window   -- rolling VPU ops, 0 gathers
   2. hash-slot descriptor                -- 1 scalar gather
   3. single-occurrence candidate payload -- 1 (n,4)-row gather
   4. packed-text verification            -- 1 overlapped-row gather
                                             (k <= 32; rolling words above)
+
+make_minimizer_locate_v2 (genome-scale indexes) -- the same pipeline
+with steps 2-3 RUN-DEDUPLICATED (once per minimizer run, ~(k-m+2)/2
+windows) and a run-level slow path; see its docstring.
 
 Multi-occurrence slots (hash collisions or repeated minimizers, ~1/load
 factor of windows) are compacted and resolved by an exact candidate-scan

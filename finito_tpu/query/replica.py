@@ -3,15 +3,21 @@ TPU, resolving positions through the index's own dictionaries -- no dense
 per-node position table.
 
 This is FinimizerIndex::search (FinimizerIndex.hh:119-185) +
-rarest_fmin_streaming_search (common.hh:78-186) re-shaped for the TPU:
+rarest_fmin_streaming_search (common.hh:78-186) re-shaped for the TPU.
+Two forms live here:
 
-  * ONE exact chain scan per read batch. The k-mer interval evolves
-    exactly like the reference's: extension, and on failure LCS-guided
-    left-contraction (drop_first_char, common.hh:38-48) until the
-    extension succeeds -- a bounded in-step recovery loop over packed
-    LCS jump tables (amortized O(1) drops/char, same as the reference).
-    Unlike the throughput engines there is no restart and no repair
-    phase: every window's status is decided in this single pass.
+  * make_replica_locate_v2 (the production form, 3.5 M q/s measured):
+    two-phase -- an optimistic chain scan with no inner loops, plus ONE
+    post-scan while_loop repairing compacted failure segments with the
+    exact recovery state machine (see its docstring).
+  * make_replica_locate (the in-scan reference twin, kept as the
+    differential arbiter; 0.86 M q/s): one exact chain scan whose k-mer
+    interval evolves exactly like the reference's: extension, and on
+    failure LCS-guided left-contraction (drop_first_char,
+    common.hh:38-48) until the extension succeeds -- a bounded in-step
+    recovery loop over packed LCS jump tables (amortized O(1)
+    drops/char, same as the reference), with no restart and no repair
+    phase.
   * Finimizer candidates collapse to a closed form: when the interval of
     the scanned suffix is a singleton {x}, the SHORTEST unique suffix
     ending there has length SU[x] = max(LCS[x], LCS[x+1]) + 1 and colex
