@@ -173,3 +173,15 @@ def test_sbwt_construction_differential():
         assert np.array_equal(a.words, b.words)
         assert np.array_equal(a.C, b.C)
         assert all(np.array_equal(x, y) for x, y in zip(ka, kb))
+
+
+def test_blocked_cumsum_matches_numpy():
+    import jax.numpy as jnp
+
+    from finito_tpu.ops.streaming import blocked_cumsum_i32
+
+    rng = np.random.default_rng(9)
+    for n in (1, 127, 128, 129, 255, 4096, 100_001):
+        x = rng.integers(0, 3, size=n).astype(np.int32)
+        got = np.asarray(blocked_cumsum_i32(jnp.asarray(x)))
+        assert np.array_equal(got, np.cumsum(x)), n
