@@ -7,8 +7,8 @@ round r marks LCS[i] = r where the r-th-from-last label column first
 differs from the row above, then propagates the column one de-Bruijn
 step (a permutation scatter src -> dst derived from the out-edge bit
 matrix + C array). On TPU each round is one fused elementwise pass plus
-one scatter over the n-node axis; the sharded round for multi-chip
-builds lives in finito_tpu.parallel.mesh.sharded_lcs_round_fn.
+one scatter over the n-node axis; the node-sharded multi-chip form
+lives in finito_tpu.parallel.mesh.sharded_lcs_fn.
 """
 
 from __future__ import annotations

@@ -462,15 +462,97 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
     return call
 
 
-def sharded_lcs_round_fn(mesh: Mesh):
-    """One LCS label-propagation round sharded over dp (demonstration of a
-    sharded build step; the scatter is a global permutation so it runs as
-    a gather from the all-gathered previous column)."""
+def sharded_lcs_fn(mesh: Mesh, sbwt):
+    """Device-mesh LCS construction: the k label-propagation rounds of
+    ops.lcs_jax with the NODE AXIS sharded over every mesh device.
 
-    def round_fn(cur, src_flat, dst_flat, lcs, r, k):
-        diff = jnp.concatenate([jnp.ones(1, jnp.bool_), cur[1:] != cur[:-1]])
-        lcs = jnp.where((lcs == k) & diff, r, lcs)
-        nxt = jnp.zeros_like(cur).at[dst_flat].set(cur[src_flat])
-        return nxt, lcs
+    Per round, per shard: the first-difference mark needs one halo
+    element (the previous shard's last label, a ppermute); the de-Bruijn
+    propagation is a global permutation, run as an all_gather of the
+    label column + a shard-local scatter of the edges whose DESTINATION
+    falls in the shard (edge lists are bucketed by destination shard
+    host-side and padded to equal length). Returns the LCS as host
+    int64, equal to sbwt.lcs_array / ops.lcs_jax (tested on the virtual
+    mesh). This is the multi-chip BUILD step: each round's collective is
+    one all_gather over ICI; everything else is shard-local.
+    """
+    from finito_tpu.ops.lcs_jax import lcs_scatter_indices
+
+    k = sbwt.get_k()
+    n = sbwt.number_of_subsets()
+    C = np.asarray(sbwt.get_C_array(), dtype=np.int64)
+    src, dst = lcs_scatter_indices(sbwt)
+
+    devs = mesh.devices.reshape(-1)
+    S = devs.size
+    per = -(-n // S)
+    npad = S * per
+
+    # bucket edges by destination shard, pad buckets to a common width
+    shard_of = dst // per
+    order = np.argsort(shard_of, kind="stable")
+    src_o, dst_o = src[order], dst[order]
+    counts = np.bincount(shard_of[order], minlength=S)
+    M = int(counts.max()) if counts.size else 1
+    src_sh = np.zeros((S, M), np.int32)
+    dstl_sh = np.full((S, M), per, np.int32)  # per = out-of-range, dropped
+    pos = 0
+    for s in range(S):
+        c = int(counts[s])
+        src_sh[s, :c] = src_o[pos : pos + c]
+        dstl_sh[s, :c] = dst_o[pos : pos + c] - s * per
+        pos += c
+
+    cur0 = np.zeros(npad, dtype=np.int32)
+    for c in range(4):
+        hi = int(C[c + 1]) if c < 3 else n
+        cur0[int(C[c]) : hi] = c + 1
+
+    flat_mesh = Mesh(devs.reshape(S), ("D",))
+
+    def rounds(cur_s, src_s, dstl_s):
+        src_s, dstl_s = src_s[0], dstl_s[0]
+        lcs_s = jnp.full(per, k, jnp.int32)
+        sid = lax.axis_index("D")
+
+        def body(r, st):
+            cur, lcs = st
+            # halo: previous shard's last label (shard 0's halo is unused
+            # -- its first node is always a global first-difference)
+            prev_last = lax.ppermute(
+                cur[-1], "D", [(i, (i + 1) % S) for i in range(S)]
+            )
+            left = jnp.concatenate([prev_last[None], cur[:-1]])
+            diff = cur != left
+            diff = jnp.where(
+                (sid == 0) & (jnp.arange(per) == 0), True, diff
+            )
+            lcs2 = jnp.where((lcs == k) & diff, r, lcs)
+            full = lax.all_gather(cur, "D", tiled=True)  # (npad,)
+            nxt = jnp.zeros_like(cur).at[dstl_s].set(
+                jnp.take(full, src_s), mode="drop"
+            )
+            return nxt, lcs2
+
+        _, lcs_s = lax.fori_loop(0, k, body, (cur_s, lcs_s))
+        return lcs_s
+
+    shmapped = shard_map(
+        rounds,
+        mesh=flat_mesh,
+        in_specs=(P("D"), P("D", None), P("D", None)),
+        out_specs=P("D"),
+        check_rep=False,
+    )
+    run = jax.jit(shmapped)
+    args = [
+        jax.device_put(x, NamedSharding(flat_mesh, spec))
+        for x, spec in (
+            (cur0, P("D")),
+            (src_sh, P("D", None)),
+            (dstl_sh, P("D", None)),
+        )
+    ]
+    return np.asarray(run(*args))[:n].astype(np.int64)
 
     return jax.jit(round_fn, static_argnames=("k",))

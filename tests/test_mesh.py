@@ -220,3 +220,17 @@ def test_cli_search_fmin_mesh_matches_single(tmp_path):
                  "--engine", "minimizer", "--mesh", "4,2"]) == 0
     assert open(o2).read() == open(o1).read()
     assert open(o1).read().count("\n") == 17
+
+
+def test_sharded_lcs_build_matches_host(setup):
+    """The dp-sharded LCS construction (halo diff + all_gather
+    propagation) must equal the host LCS array."""
+    from finito_tpu.parallel.mesh import make_mesh, sharded_lcs_fn
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    index, _e, _r, _u, _o = setup
+    want = np.asarray(lcs_array(index.sbwt))
+    for tp in (1, 2):
+        mesh = make_mesh(8, tp=tp)
+        got = sharded_lcs_fn(mesh, index.sbwt)
+        np.testing.assert_array_equal(got, want)
