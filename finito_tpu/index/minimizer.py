@@ -330,6 +330,24 @@ class MinimizerIndex:
                 out.append((uid, off))
         return out
 
+    def get_exact_alignment_candidates(self, query_codes: np.ndarray):
+        """Distinct (unitig_id, align_start) pairs such that the full
+        query could align at align_start of that unitig -- every k-mer
+        window's occurrences shifted back by the window position, bounds-
+        checked against the unitig (ref: the Rust reference's seed API,
+        minimizer_index.rs:264-277)."""
+        q = np.asarray(query_codes, np.uint8)
+        k = self.k
+        out = set()
+        starts = np.concatenate([[0], np.asarray(self.ends[:-1], np.int64)])
+        for qp in range(q.size - k + 1):
+            for uid, tp in self.lookup_kmer_host_all(q[qp : qp + k]):
+                a = tp - qp
+                ulen = int(self.ends[uid]) - int(starts[uid])
+                if a >= 0 and a + q.size <= ulen:
+                    out.add((uid, a))
+        return sorted(out)
+
     def lookup_kmer_host(self, codes: np.ndarray):
         """Host oracle for one k-mer: (uid, off) or (-1, -1). Mirrors the
         reference's lookup_kmer (minimizer_index.rs:228-260)."""

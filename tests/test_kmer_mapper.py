@@ -272,3 +272,37 @@ def test_query_v2_form_matches_v1(tmp_path, monkeypatch):
         outs[form] = open(o).read()
     assert outs["0"] == outs["1"]
     assert outs["0"].count("\n") == 9
+
+
+def test_exact_alignment_candidates():
+    """The Rust reference's seed API (minimizer_index.rs:264-277): every
+    in-bounds shifted occurrence of every query k-mer, deduplicated."""
+    import numpy as np
+
+    from finito_tpu.index.minimizer import MinimizerIndex
+
+    rng = np.random.default_rng(21)
+    ends = np.cumsum(rng.integers(30, 200, size=12)).astype(np.int64)
+    concat = rng.integers(0, 4, size=int(ends[-1]), dtype=np.uint8)
+    k = 9
+    index = MinimizerIndex.build(concat, ends, k)
+    starts = np.concatenate([[0], ends[:-1]])
+    # a query taken verbatim from unitig 3 must report (3, offset)
+    u = 3
+    ulen = int(ends[u] - starts[u])
+    off = ulen // 3
+    qlen = min(ulen - off, 3 * k)
+    q = concat[int(starts[u]) + off : int(starts[u]) + off + qlen]
+    cands = index.get_exact_alignment_candidates(q)
+    assert (u, off) in cands
+    # brute-force reference: all positions where the query matches fully
+    want = set()
+    for uid in range(ends.size):
+        s, e = int(starts[uid]), int(ends[uid])
+        for a in range(0, e - s - qlen + 1):
+            if np.array_equal(concat[s + a : s + a + qlen][: q.size], q):
+                want.add((uid, a))
+    # candidates are a SUPERSET filter in general; here every candidate
+    # k-mer occurs once (DSPSS-ish random text), so equality holds for
+    # full-match starts and every full match is found
+    assert want <= set(cands)
