@@ -36,42 +36,28 @@ inline int key_compare(const uint64_t* A, int64_t nA, int64_t i,
 
 extern "C" {
 
-// Stable LSD radix argsort of n W-word keys. used_bits caps the digit
-// count (pass 3*k for 3-bit-packed length-k rows). idx_out: int64[n].
-// keys_out (optional, may be null): the sorted keys, word-major, so the
-// caller skips a separate fancy-index gather.
-void fin_radix_argsort(const uint64_t* words, int64_t n, int64_t W,
-                       int64_t used_bits, int64_t* idx_out,
-                       uint64_t* keys_out) {
-    if (n <= 0) return;
-    const int64_t R = W + 1;  // record: W key words + original index
-    std::vector<uint64_t> abuf((size_t)n * R), bbuf((size_t)n * R);
-    uint64_t* a = abuf.data();
-    uint64_t* b = bbuf.data();
-    for (int64_t i = 0; i < n; i++) {
-        for (int64_t w = 0; w < W; w++) a[i * R + w] = words[w * n + i];
-        a[i * R + W] = (uint64_t)i;
-    }
-    if (used_bits > 64 * W) used_bits = 64 * W;
-    const int n_digits = (int)((used_bits + 15) / 16);
+namespace {
 
-    // One sweep computes every pass's histogram up front.
+// Stable LSD radix over 16-bit digits of [lo, hi) records in `a`,
+// scratch in `b` (both R-word records, key words LSW-first then the
+// original index). Sorts digits [0, n_digits). Result left in `a`
+// (copied back if it lands in scratch).
+void lsd_radix_records(uint64_t* a, uint64_t* b, int64_t n, int64_t R,
+                       int n_digits) {
+    if (n <= 1) return;
     std::vector<int64_t> hist((size_t)n_digits * 65536, 0);
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = 0; i < n; i++)
         for (int d = 0; d < n_digits; d++) {
             const int w = d >> 2, sh = (d & 3) << 4;
             hist[(size_t)d * 65536 + ((a[i * R + w] >> sh) & 0xFFFF)]++;
         }
-    }
-
     uint64_t* src = a;
     uint64_t* dst = b;
     for (int d = 0; d < n_digits; d++) {
         int64_t* h = hist.data() + (size_t)d * 65536;
         const int w = d >> 2, sh = (d & 3) << 4;
-        // skip single-bucket passes (constant digit)
         const uint64_t first_dig = (src[0 * R + w] >> sh) & 0xFFFF;
-        if (h[first_dig] == n) continue;
+        if (h[first_dig] == n) continue;  // constant digit: skip pass
         int64_t sum = 0;
         for (int j = 0; j < 65536; j++) {
             int64_t c = h[j];
@@ -88,10 +74,74 @@ void fin_radix_argsort(const uint64_t* words, int64_t n, int64_t W,
         src = dst;
         dst = tmp;
     }
-    for (int64_t i = 0; i < n; i++) idx_out[i] = (int64_t)src[i * R + W];
+    if (src != a) std::memcpy(a, src, (size_t)n * R * sizeof(uint64_t));
+}
+
+}  // namespace
+
+// Stable radix argsort of n W-word keys: one MSD pass over the top 8
+// used bits partitions records into 256 buckets (built straight from
+// the word-major input into a SINGLE record buffer), then each bucket
+// is LSD-sorted over the remaining digits with a scratch sized to the
+// largest bucket. Peak memory = n*(W+1) words + max_bucket*(W+1) words
+// (~half of a classic two-buffer LSD at genome scale -- this host
+// provisions fresh memory at ~10-60 MB/s, so peak bytes are build
+// time). used_bits caps the digit count (pass 3*k for 3-bit-packed
+// length-k rows). idx_out: int64[n]. keys_out (optional, may be null):
+// the sorted keys, word-major.
+void fin_radix_argsort(const uint64_t* words, int64_t n, int64_t W,
+                       int64_t used_bits, int64_t* idx_out,
+                       uint64_t* keys_out) {
+    if (n <= 0) return;
+    const int64_t R = W + 1;
+    if (used_bits > 64 * W) used_bits = 64 * W;
+    if (used_bits < 1) used_bits = 1;
+
+    // top-8-used-bits bucket of a key (from the word-major input)
+    const int64_t top_lo = used_bits > 8 ? used_bits - 8 : 0;
+    const int64_t tw = top_lo >> 6, tr = top_lo & 63;
+    auto bucket_of = [&](int64_t i) -> int {
+        uint64_t v = words[tw * n + i] >> tr;
+        if (tr && tw + 1 < W) v |= words[(tw + 1) * n + i] << (64 - tr);
+        return (int)(v & 0xFF);
+    };
+
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[bucket_of(i)]++;
+    int64_t starts[257];
+    starts[0] = 0;
+    int64_t max_bucket = 0;
+    for (int j = 0; j < 256; j++) {
+        starts[j + 1] = starts[j] + counts[j];
+        if (counts[j] > max_bucket) max_bucket = counts[j];
+    }
+
+    std::vector<uint64_t> buf((size_t)n * R);
+    uint64_t* a = buf.data();
+    {
+        int64_t cur[256];
+        for (int j = 0; j < 256; j++) cur[j] = starts[j];
+        for (int64_t i = 0; i < n; i++) {  // stable: ascending i per bucket
+            uint64_t* out = a + cur[bucket_of(i)]++ * R;
+            for (int64_t w = 0; w < W; w++) out[w] = words[w * n + i];
+            out[W] = (uint64_t)i;
+        }
+    }
+
+    // Within-bucket LSD over every digit below top_lo. The digit range
+    // rounds UP to 16-bit boundaries, so it can include bits of the
+    // bucket byte itself -- harmless: those bits are constant inside a
+    // bucket, and bits above used_bits are unused by contract.
+    const int n_digits = (int)((top_lo + 15) / 16);
+    std::vector<uint64_t> scratch((size_t)max_bucket * R);
+    for (int j = 0; j < 256; j++)
+        lsd_radix_records(a + starts[j] * R, scratch.data(), counts[j], R,
+                          n_digits);
+
+    for (int64_t i = 0; i < n; i++) idx_out[i] = (int64_t)a[i * R + W];
     if (keys_out) {
         for (int64_t i = 0; i < n; i++)
-            for (int64_t w = 0; w < W; w++) keys_out[w * n + i] = src[i * R + w];
+            for (int64_t w = 0; w < W; w++) keys_out[w * n + i] = a[i * R + w];
     }
 }
 
