@@ -125,7 +125,8 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
     def locate_batch(codes: np.ndarray):
         B, L = codes.shape
         W = L - k + 1
-        K = max(256, (B * W) // 16)
+        # v2's K bounds slow RUNS (~windows / run-length fewer)
+        K = max(256, (B * W) // (128 if use_v2 else 16))
         KH = max(1024, (B * W) // 6)
         while True:
             key = (K, KH, B, L)

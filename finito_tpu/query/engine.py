@@ -262,7 +262,8 @@ class DeviceQueryEngine:
             def locate_minimizer(codes):
                 B, L = codes.shape
                 W = L - self.k + 1
-                K = max(256, (B * W) // 32)
+                # v2's K bounds slow RUNS (~windows / run-length fewer)
+                K = max(256, (B * W) // (256 if use_v2 else 32))
                 KH = max(1024, (B * W) // 6)
                 while True:
                     key = (K, KH, use_v2)
