@@ -335,35 +335,22 @@ def make_minimizer_locate_v2(
         # zeroed by `bad` after redistribution.
         h_v = jnp.take(best_v.reshape(-1), head_pos)
         slot = (slot32_device(h_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
-        # desc[slot] and desc[slot+1] in ONE sliced gather (slice size 2)
-        pair = lax.gather(
-            dmi.desc,
-            slot[:, None],
-            lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-            ),
-            slice_sizes=(2,),
-            mode="clip",
-        )
-        d = pair[:, 0]
+        d = jnp.take(dmi.desc, slot)
         h_start = (d >> _LEN_BITS).astype(jnp.int32)
         h_ln = (d & _LEN_MAX).astype(jnp.int32)
-        h_end = (pair[:, 1] >> _LEN_BITS).astype(jnp.int32)
         row = jnp.take(dmi.occ_rows, jnp.where(h_ln == 1, h_start, 0), axis=0)
         head_table = jnp.stack(
-            [h_start, h_ln, h_end, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
+            [h_start, h_ln, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
             axis=1,
-        )  # (K_heads, 7) int32, a few MB -- fast to gather from
+        )  # (K_heads, 6) int32, a few MB -- fast to gather from
 
         # ---- redistribute to windows: one small-table row gather
         wrow = jnp.take(head_table, jnp.minimum(ord_flat, K_heads - 1), axis=0)
-        start = wrow[:, 0].reshape(B, W)
         ln = jnp.where(bad, 0, wrow[:, 1].reshape(B, W))
-        s_end_w = wrow[:, 2]
-        g_m = wrow[:, 3].reshape(B, W)
-        uid_m = wrow[:, 4].reshape(B, W)
-        off_m = wrow[:, 5].reshape(B, W)
-        uend = wrow[:, 6].reshape(B, W)
+        g_m = wrow[:, 2].reshape(B, W)
+        uid_m = wrow[:, 3].reshape(B, W)
+        off_m = wrow[:, 4].reshape(B, W)
+        uend = wrow[:, 5].reshape(B, W)
 
         # ---- fast path: candidate payload already in hand, text-verify
         fast = ln == 1
@@ -396,7 +383,12 @@ def make_minimizer_locate_v2(
         sh_valid = sh_idx >= 0
         sj = jnp.where(sh_valid, sh_idx, 0)
         s_start = jnp.take(h_start, sj)
-        s_end = jnp.minimum(jnp.take(h_end, sj), jnp.int32(n_occ))
+        # exact slot end gathered only for slow heads (~3% of heads)
+        s_slot = jnp.take(slot, sj)
+        s_end = jnp.minimum(
+            (jnp.take(dmi.desc, s_slot + 1) >> _LEN_BITS).astype(jnp.int32),
+            jnp.int32(n_occ),
+        )
         f0 = jnp.take(head_pos, sj)  # first window of the run (flat)
         nxt = jnp.take(head_pos, jnp.minimum(sj + 1, K_heads - 1))
         r_len = jnp.clip(
