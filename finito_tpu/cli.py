@@ -391,10 +391,13 @@ def search_fmin(argv: List[str]) -> int:
         help="Query FASTA/FASTQ, possibly gzipped; .txt = list of query files.",
     )
     p.add_argument(
-        "--engine", default="oracle",
+        "--engine", default="minimizer",
         choices=["oracle", "dense", "stream", "minimizer", "replica"],
-        help="Query engine: host oracle (exact reference algorithm), or the "
-        "batched TPU engines (identical output).",
+        help="Query engine (default: minimizer, the fast exact device "
+        "engine -- like the reference binary, the product path is fast "
+        "out of the box). 'oracle' is the host reference algorithm for "
+        "cross-checking; dense/stream/replica are the other device "
+        "engines (identical output).",
     )
     p.add_argument(
         "--mesh", default="1,1", metavar="DP,TP",

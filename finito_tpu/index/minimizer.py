@@ -91,10 +91,11 @@ def _pack_desc(counts: np.ndarray) -> np.ndarray:
     return np.concatenate([desc, np.asarray([starts[-1] << _LEN_BITS], dtype=dt)])
 
 
-def default_m(k: int, text_len: int) -> int:
+def default_m(k: int) -> int:
     """m = 16 packs exactly into uint32 and keeps minimizer density
     ~2/(k-m+2); the hash-slot table makes bigger m pointless and smaller
-    m only increases bucket sizes. Clamped to k for short k-mers."""
+    m only increases bucket sizes (measured m-sweep, round 2). Clamped
+    to k for short k-mers. Independent of text length by design."""
     return max(4, min(16, k))
 
 
@@ -153,7 +154,7 @@ class MinimizerIndex:
             raise ValueError("unitig text contains non-ACGT characters")
         n = concat.size
         if m is None:
-            m = default_m(k, n)
+            m = default_m(k)
         if m > k:
             m = k
         if n >= (1 << 31):

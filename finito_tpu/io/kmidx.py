@@ -19,11 +19,15 @@ with plausibility checks at every length field, and requires the byte
 after the blob to start the FASTA ('>') -- a framing mismatch fails
 loudly rather than mis-importing.
 
-The imported occurrence SET (unitig_id, pos) is cross-validated against
-the `locations` section: the Rust build records exactly the deduplicated
-leftmost-lowest minimizer occurrences, which must equal the set finito's
-own build derives from the same unitigs (the property-test suite pins
-the two minimizer definitions equal).
+The file's `locations` section is cross-validated by RECOMPUTING the
+reference's own minimizer definition over the imported unitigs: the
+deduplicated leftmost-lowest LEXICOGRAPHIC m-minimizer occurrences
+(minimizer_index.rs:41-52, strict `<`, leftmost wins ties) at the
+file's own m. This is deliberately NOT finito's definition -- finito
+selects by mix32 hash order with its own m (query answers are
+independent of both, they only steer table load), so the stored set
+from a genuine cargo-built file (default m = k-6) can never match
+finito's occurrence set and is not compared against it.
 
 Verification status: no Rust toolchain exists in this environment, so
 the reader is exercised against synthetic files produced by
@@ -120,38 +124,82 @@ def read_kmidx(path: str):
         codes, ends, headers = parsed
         db = SeqDB(concat=codes, ends=ends, headers=headers)
     else:
+        import os
         import tempfile
 
         with tempfile.NamedTemporaryFile(suffix=".fna", delete=False) as tf:
             tf.write(fasta)
             tmp = tf.name
-        db = SeqDB.from_file(tmp)
+        try:
+            db = SeqDB.from_file(tmp)
+        finally:
+            os.unlink(tmp)
     return int(k), int(m), loc.copy(), db
 
 
+def _lex_minimizer_occurrences(
+    concat: np.ndarray, ends: np.ndarray, k: int, m: int
+) -> np.ndarray:
+    """Deduplicated leftmost-lowest LEXICOGRAPHIC m-minimizer positions
+    per k-window -- the Rust reference's definition (strict ``<`` over
+    the m-mer bytes keeps the leftmost minimum, minimizer_index.rs:41-52;
+    ACGT byte order equals 2-bit code order). Returns sorted (uid, off)
+    int64 pairs. m <= 32 (uint64-packed m-mers)."""
+    if m > 32:
+        raise IOError(f"m={m} exceeds the 32-base uint64 m-mer packing")
+    out = []
+    start = 0
+    for uid, e in enumerate(np.asarray(ends, np.int64)):
+        e = int(e)
+        L = e - start
+        if L >= k:
+            codes = np.asarray(concat[start:e], np.uint64)
+            nmm = L - m + 1
+            mv = np.zeros(nmm, dtype=np.uint64)
+            for i in range(m):
+                mv |= codes[i : nmm + i] << np.uint64(2 * (m - 1 - i))
+            nw = L - k + 1
+            best = mv[:nw].copy()
+            pos = np.zeros(nw, dtype=np.int64)
+            for r in range(1, k - m + 1):
+                cand = mv[r : r + nw]
+                upd = cand < best
+                best[upd] = cand[upd]
+                pos[upd] = r
+            offs = np.unique(np.arange(nw, dtype=np.int64) + pos)
+            pair = np.empty((offs.size, 2), np.int64)
+            pair[:, 0] = uid
+            pair[:, 1] = offs
+            out.append(pair)
+        start = e
+    if not out:
+        return np.zeros((0, 2), np.int64)
+    return np.concatenate(out)
+
+
 def import_kmidx(path: str):
-    """KMIDXv01 -> finito MinimizerIndex (rebuilt hash-slot table), with
-    the occurrence set cross-validated against the stored locations."""
+    """KMIDXv01 -> finito MinimizerIndex (rebuilt hash-slot table). The
+    file's locations are validated against the reference's lexicographic
+    minimizer definition at the file's own m; the returned index is then
+    built with finito's hashed selection and clamped m <= 16 (query
+    answers are independent of the selection rule and of m)."""
     from finito_tpu.index.minimizer import MinimizerIndex
 
     k, m, loc, db = read_kmidx(path)
-    index = MinimizerIndex.build(
-        np.asarray(db.concat, np.uint8), np.asarray(db.ends, np.int64), k, m
-    )
-    index.headers = db.headers
-    ours = np.stack(
-        [index.occ_uid.astype(np.int64), index.occ_off.astype(np.int64)], axis=1
-    )
+    concat = np.asarray(db.concat, np.uint8)
+    ends = np.asarray(db.ends, np.int64)
     theirs = loc.astype(np.int64)
-    if ours.shape != theirs.shape or not np.array_equal(
-        ours[np.lexsort((ours[:, 1], ours[:, 0]))],
-        theirs[np.lexsort((theirs[:, 1], theirs[:, 0]))],
-    ):
+    theirs = theirs[np.lexsort((theirs[:, 1], theirs[:, 0]))]
+    ref_set = _lex_minimizer_occurrences(concat, ends, k, m)
+    if ref_set.shape != theirs.shape or not np.array_equal(ref_set, theirs):
         raise IOError(
-            f"imported occurrence set disagrees with the file's locations "
-            f"({ours.shape[0]} vs {theirs.shape[0]} occurrences) -- "
-            f"minimizer definitions out of sync"
+            f"the file's locations disagree with the reference minimizer "
+            f"definition recomputed from its own unitigs "
+            f"({theirs.shape[0]} stored vs {ref_set.shape[0]} recomputed "
+            f"occurrences at k={k} m={m}) -- corrupt or incompatible file"
         )
+    index = MinimizerIndex.build(concat, ends, k, min(m, 16))
+    index.headers = db.headers
     return index
 
 
@@ -161,11 +209,16 @@ def write_kmidx(path: str, index, headers: List[bytes] | None = None) -> None:
     working boomphf -- see the module docstring)."""
     from finito_tpu.io.seqdb import decode_seq
 
-    occ = np.stack(
-        [index.occ_uid.astype(np.int64), index.occ_off.astype(np.int64)], axis=1
+    # locations follow the REFERENCE's definition (lexicographic
+    # leftmost-lowest at this index's m), like a genuine cargo-built
+    # file -- import_kmidx validates them by recomputation; finito's own
+    # hashed occurrence set never appears on disk in this format.
+    occ = _lex_minimizer_occurrences(
+        np.asarray(index.concat, np.uint8),
+        np.asarray(index.ends, np.int64),
+        index.k,
+        index.m,
     )
-    order = np.lexsort((occ[:, 1], occ[:, 0]))
-    occ = occ[order]
     n_occ = occ.shape[0]
     kmer_width = max(1, (2 * index.k + 63) // 64)
     with open(path, "wb") as f:

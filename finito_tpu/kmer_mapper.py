@@ -79,7 +79,7 @@ def build(argv: List[str]) -> int:
         sys.stderr.write(f"m={m} clamped to 16 (query answers are independent of m)\n")
         m = 16
     if m is None:
-        m = default_m(args.k, int(concat.size))
+        m = default_m(args.k)
     sys.stderr.write(f"k = {args.k}, m = {m}\n")
 
     index = MinimizerIndex.build(concat, ends, args.k, m=m)

@@ -221,6 +221,8 @@ def pack_windows(codes, k: int):
     n = int(codes.size)
     nw = n - k + 1
     W = (3 * k + 63) // 64
+    if W > 12:  # native kernel's window-key buffer is 12 words (k <= 255)
+        return None
     if nw <= 0:
         return [np.zeros(0, dtype=np.uint64) for _ in range(W)]
     out = np.empty((W, nw), dtype=np.uint64)

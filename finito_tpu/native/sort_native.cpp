@@ -185,8 +185,11 @@ void fin_pack_windows(const uint8_t* codes, int64_t n, int64_t k,
     const int64_t nw = n - k + 1;
     if (nw <= 0) return;
     const int64_t W = (3 * k + 63) / 64;
-    // key words of the current window, LSW first
-    uint64_t cur[8] = {0};  // W <= 8 covers k <= 170
+    // key words of the current window, LSW first.
+    // W = ceil(3k/64) <= 12 for k <= 255 (the builder's hard k cap);
+    // the Python wrapper refuses larger W before calling in.
+    uint64_t cur[12] = {0};
+    if (W > 12) return;
     for (int64_t p = 0; p < k; p++) {
         const uint64_t c = (uint64_t)(codes[p] + 1);
         const int64_t bit = 3 * p, q = bit >> 6, r = bit & 63;

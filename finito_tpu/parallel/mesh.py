@@ -554,5 +554,3 @@ def sharded_lcs_fn(mesh: Mesh, sbwt):
         )
     ]
     return np.asarray(run(*args))[:n].astype(np.int64)
-
-    return jax.jit(round_fn, static_argnames=("k",))

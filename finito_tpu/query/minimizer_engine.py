@@ -7,7 +7,7 @@ make_minimizer_locate (v1, small indexes) -- per (B, W) window batch,
 entirely divergence-free on the fast path:
 
   1. minimizer value+offset per window   -- rolling VPU ops, 0 gathers
-  2. hash-slot descriptor                -- 1 scalar gather
+  2. hash-slot descriptor                -- 1 (n, 2)-row gather
   3. single-occurrence candidate payload -- 1 (n,4)-row gather
   4. packed-text verification            -- 1 overlapped-row gather
                                             (k <= 32; rolling words above)
@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from finito_tpu.index.minimizer import MinimizerIndex, _LEN_BITS, _LEN_MAX, _MIX2
+from finito_tpu.index.minimizer import MinimizerIndex, _MIX2
 from finito_tpu.ops.streaming import compact_mask
 
 
@@ -103,6 +103,26 @@ def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
     return (by << shifts).sum(axis=1, dtype=np.uint32)
 
 
+def desc_to_rows(desc: np.ndarray) -> np.ndarray:
+    """Host packed slot descriptors -> (2^h + 1, 2) int32 rows
+    [start, exact_len].
+
+    The host-packed scalar desc widens to uint64 past 2^26 occurrences,
+    and jnp.asarray would silently truncate uint64 -> uint32 with x64
+    disabled; explicit 32-bit planes are always exact (starts < n_occ <
+    2^31). A real 2-column row layout also makes the descriptor ONE row
+    gather (XLA splits a slice_sizes=(2,) gather on a scalar table into
+    two), and the exact length column (successive-start difference, not
+    the 6-bit saturated stored length) kills the slow-path
+    next-slot-start gather."""
+    starts = (np.asarray(desc) >> np.uint64(6)).astype(np.int64)
+    rows = np.empty((starts.size, 2), dtype=np.int32)
+    rows[:, 0] = starts
+    rows[:-1, 1] = np.diff(starts)
+    rows[-1, 1] = 0
+    return rows
+
+
 @jax.tree_util.register_pytree_node_class
 class DeviceMinimizerIndex:
     """Device-resident arrays of a MinimizerIndex (a pytree, so jitted
@@ -132,7 +152,7 @@ class DeviceMinimizerIndex:
         self.m = mindex.m
         self.h = mindex.h
         self.n_occ = int(mindex.occ_key.size)
-        self.desc = jnp.asarray(mindex.desc)
+        self.desc = jnp.asarray(desc_to_rows(mindex.desc))
         self.occ_rows = jnp.asarray(build_occ_rows(mindex))
         self.ends = jnp.asarray(np.asarray(mindex.ends, dtype=np.int32))
         words = pack_text_words(mindex.concat, _n_words(mindex.k) + 5)
@@ -335,9 +355,9 @@ def make_minimizer_locate_v2(
         # zeroed by `bad` after redistribution.
         h_v = jnp.take(best_v.reshape(-1), head_pos)
         slot = (slot32_device(h_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
-        d = jnp.take(dmi.desc, slot)
-        h_start = (d >> _LEN_BITS).astype(jnp.int32)
-        h_ln = (d & _LEN_MAX).astype(jnp.int32)
+        d = jnp.take(dmi.desc, slot, axis=0)  # (K_heads, 2) row gather
+        h_start = d[:, 0]
+        h_ln = d[:, 1]  # exact slot length (not saturated)
         row = jnp.take(dmi.occ_rows, jnp.where(h_ln == 1, h_start, 0), axis=0)
         head_table = jnp.stack(
             [h_start, h_ln, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
@@ -383,12 +403,8 @@ def make_minimizer_locate_v2(
         sh_valid = sh_idx >= 0
         sj = jnp.where(sh_valid, sh_idx, 0)
         s_start = jnp.take(h_start, sj)
-        # exact slot end gathered only for slow heads (~3% of heads)
-        s_slot = jnp.take(slot, sj)
-        s_end = jnp.minimum(
-            (jnp.take(dmi.desc, s_slot + 1) >> _LEN_BITS).astype(jnp.int32),
-            jnp.int32(n_occ),
-        )
+        # exact slot end from the length column (no next-slot gather)
+        s_end = jnp.minimum(s_start + jnp.take(h_ln, sj), jnp.int32(n_occ))
         f0 = jnp.take(head_pos, sj)  # first window of the run (flat)
         nxt = jnp.take(head_pos, jnp.minimum(sj + 1, K_heads - 1))
         r_len = jnp.clip(
@@ -577,12 +593,9 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
         # --- slot descriptor (1 gather): slot = slot32(v) >> (32-h); hash
         # collisions are harmless (the text compare is the arbiter)
         slot = (slot32_device(best_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
-        # python-int shifts: desc is uint32 below 2^26 occurrences and
-        # uint64 above (the packed start outgrows 26 bits)
-        d = jnp.take(dmi.desc, jnp.where(bad, 0, slot))
-        start = (d >> _LEN_BITS).astype(jnp.int32)
-        ln = (d & _LEN_MAX).astype(jnp.int32)
-        ln = jnp.where(bad, 0, ln)
+        d = jnp.take(dmi.desc, jnp.where(bad, 0, slot), axis=0)  # (B, W, 2)
+        start = d[..., 0]
+        ln = jnp.where(bad, 0, d[..., 1])  # exact slot length
 
         # --- fast path: single-occurrence slots (1 + NW+1 gathers)
         fast = ln == 1
@@ -601,10 +614,8 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        # exact slot end = next slot's start (the stored length saturates
-        # at 63 for repeat-heavy values)
-        s_slot = jnp.take(slot.reshape(-1), safe)
-        s_end = (jnp.take(dmi.desc, s_slot + 1) >> _LEN_BITS).astype(jnp.int32)
+        # exact slot end from the length column (no next-slot gather)
+        s_end = s_start + jnp.take(ln.reshape(-1), safe)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 

@@ -255,3 +255,27 @@ def test_engine_v2_matches_oracle(monkeypatch):
             read = "".join(rng.choice(list("ACGT"), int(rng.integers(k, 40)))).encode()
         f, _r = engine.search_fwd_rc(read)
         assert f.local_offsets == index.search(read).local_offsets, read
+
+
+def test_desc_to_rows_uint64_exact():
+    """Past 2^26 occurrences the host desc packs into uint64; the device
+    rows must carry the exact starts (jnp.asarray would have silently
+    truncated uint64 -> uint32) and EXACT lengths (the packed length
+    saturates at 63)."""
+    from finito_tpu.index.minimizer import _pack_desc
+    from finito_tpu.query.minimizer_engine import desc_to_rows
+
+    counts = np.zeros(1 << 10, dtype=np.int64)
+    counts[0] = 1
+    counts[1] = 200            # saturates the 6-bit packed length
+    counts[2] = (1 << 26) + 7  # pushes cumulative starts past 26 bits
+    counts[5] = 3
+    counts[-1] = (1 << 30)     # total past 2^30: uint32<<6 would overflow
+    desc = _pack_desc(counts)
+    assert desc.dtype == np.uint64, "fixture must force the wide desc"
+    rows = desc_to_rows(desc)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    assert rows.dtype == np.int32
+    np.testing.assert_array_equal(rows[:, 0].astype(np.int64), starts)
+    np.testing.assert_array_equal(rows[:-1, 1].astype(np.int64), counts)
+    assert rows[-1, 1] == 0

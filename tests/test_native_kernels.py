@@ -32,7 +32,9 @@ def no_native():
 def test_pack_windows_matches_python():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=2000, dtype=np.uint8)
-    for k in (2, 5, 21, 22, 31, 42, 63, 64, 100, 170):
+    # 171..255 exceed the native kernel's 8-word era buffer; the wrapper
+    # must route them to the NumPy path rather than overflow the stack
+    for k in (2, 5, 21, 22, 31, 42, 63, 64, 100, 170, 171, 200, 255):
         a = kw.pack_windows(codes, k)
         with no_native():
             b = kw.pack_windows(codes, k)
