@@ -140,7 +140,15 @@ class FinimizerIndex:
 
     # ---------- serialization (ref: FinimizerIndex.hh:187-241) ----------
 
-    def serialize(self, index_prefix: str) -> None:
+    def serialize(self, index_prefix: str, sbwt_format: str = "finito") -> None:
+        """Write the 7 sdsl files + .sbwt member under the prefix.
+
+        sbwt_format selects the ``.sbwt`` member layout: "finito"
+        (FINSBWT1, the native container) or "algbio" (the reference's
+        in-prefix layout: a HEADERLESS algbio/SBWT plain-matrix payload,
+        no variant string -- FinimizerIndex.hh:206,238-239 -- so a
+        prefix written this way matches what the C++ binary writes and
+        reads)."""
         sdsl.save_int_vector(index_prefix + ".O.sdsl", self.global_offsets, self.offsets_width)
         sdsl.save_bit_vector(index_prefix + ".FBV.sdsl", self.fmin)
         sdsl.save_int_vector(
@@ -151,9 +159,35 @@ class FinimizerIndex:
         )
         sdsl.save_bit_vector(index_prefix + ".Ustart.sdsl", self.Ustart)
         sdsl.save_int_vector(index_prefix + ".LCS.sdsl", self.LCS, self.lcs_width)
-        # Index-internal .sbwt is headerless (reference quirk: no variant
-        # string, unlike standalone sbwt-build output; FinimizerIndex.hh:206).
-        self.sbwt.serialize(index_prefix + ".sbwt")
+        if sbwt_format == "finito":
+            # Index-internal .sbwt is headerless (reference quirk: no variant
+            # string, unlike standalone sbwt-build output; FinimizerIndex.hh:206).
+            self.sbwt.serialize(index_prefix + ".sbwt")
+        elif sbwt_format == "algbio":
+            from finito_tpu.io.algbio_sbwt import write_algbio_sbwt
+
+            write_algbio_sbwt(
+                index_prefix + ".sbwt", self.sbwt, LCS=self.LCS,
+                variant_header=False,
+            )
+        else:
+            raise ValueError(f"unknown sbwt_format {sbwt_format!r}")
+
+    @staticmethod
+    def load_sbwt_member(path: str) -> PlainMatrixSBWT:
+        """Load the ``.sbwt`` member of an index prefix in ANY of the
+        layouts found in the wild: finito's FINSBWT1, or the
+        reference-written headerless algbio container (what the C++
+        binary puts inside a prefix, FinimizerIndex.hh:206), or a
+        variant-headed algbio file (defensive: a standalone `sbwt
+        build` output copied into the prefix)."""
+        from finito_tpu.io.algbio_sbwt import read_algbio_sbwt, sniff_format
+
+        fmt = sniff_format(path)
+        if fmt == "finito":
+            return PlainMatrixSBWT.load(path)
+        sbwt, _sgs = read_algbio_sbwt(path, variant_header=(fmt == "algbio"))
+        return sbwt
 
     @staticmethod
     def load(index_prefix: str) -> "FinimizerIndex":
@@ -171,7 +205,7 @@ class FinimizerIndex:
             concat=concat.values.astype(np.uint8), ends=ends.values.astype(np.int64)
         )
         index.Ustart = sdsl.load_bit_vector(index_prefix + ".Ustart.sdsl")
-        index.sbwt = PlainMatrixSBWT.load(index_prefix + ".sbwt")
+        index.sbwt = FinimizerIndex.load_sbwt_member(index_prefix + ".sbwt")
         index.rebuild_rank_supports()
         return index
 

@@ -120,3 +120,45 @@ def test_cli_convert_and_autodetect(tmp_path):
         assert main(["search-fmin", "-o", o, "-i", prefix, "-q", reads]) == 0
         out[name] = open(o).read()
     assert out["fin"] == out["alg"] and out["fin"].count("\n") == 2
+
+
+def test_reference_layout_prefix_roundtrips_through_search(tmp_path):
+    """A prefix whose .sbwt member is the reference's in-prefix layout
+    (HEADERLESS algbio container, FinimizerIndex.hh:206,238-239) loads
+    and searches byte-identically to a finito-written prefix."""
+    import shutil
+
+    from finito_tpu.cli import main
+    from finito_tpu.index.index import FinimizerIndex
+
+    rng = np.random.default_rng(11)
+    unitigs = gen_dspss(rng, 8, 10, 40, 4)
+    fna = str(tmp_path / "u.fna")
+    with open(fna, "w") as f:
+        for i, u in enumerate(unitigs):
+            f.write(f">u{i}\n{u}\n")
+    reads = str(tmp_path / "q.fna")
+    with open(reads, "w") as f:
+        f.write(f">q0\n{unitigs[0]}\n>q1\nACGTACGTAC\n")
+
+    fin = str(tmp_path / "fin.sbwt")
+    assert main(["sbwt-build", "-k", "4", "-i", fna, "-o", fin]) == 0
+    p_native = str(tmp_path / "native")
+    assert main(["build-fmin", "-o", p_native, "-i", fin, "-u", fna]) == 0
+
+    # rewrite the prefix with the reference's .sbwt member layout
+    idx = FinimizerIndex.load(p_native)
+    p_ref = str(tmp_path / "reflayout")
+    idx.serialize(p_ref, sbwt_format="algbio")
+    assert ab.sniff_format(p_ref + ".sbwt") == "algbio-headerless"
+
+    o1 = str(tmp_path / "o1.txt")
+    o2 = str(tmp_path / "o2.txt")
+    assert main(["search-fmin", "-o", o1, "-i", p_native, "-q", reads]) == 0
+    assert main(["search-fmin", "-o", o2, "-i", p_ref, "-q", reads]) == 0
+    assert open(o1).read() == open(o2).read()
+
+    # the oracle path agrees too (load built the same in-memory sbwt)
+    idx2 = FinimizerIndex.load(p_ref)
+    q = unitigs[0].encode()
+    assert idx2.search(q).local_offsets == idx.search(q).local_offsets
