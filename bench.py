@@ -1,11 +1,22 @@
 """Headline benchmark: k-mer localization throughput (queries/sec/chip).
 
-Builds a synthetic DSPSS index (random genome decomposed into k-1
-overlapping unitigs), then measures steady-state throughput of the dense
+Builds synthetic DSPSS indexes (random genome decomposed into k-1
+overlapping unitigs), then measures steady-state throughput of the
 device engine on batched reads (98%-present k-mers, 2% mutations).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "kmer_queries/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "kmer_queries/sec",
+   "vs_baseline": N, "ladder": [...]}
+
+The headline value is the 400 kbp rung (comparable across rounds); the
+"ladder" array carries one row per genome size actually measured this
+run, each with its own throughput and the count of reads differentially
+verified against the exact host oracle (index.search). By default the
+ladder includes every LARGER genome size whose index is already cached
+under --cache-dir (default .bench_cache; genome-scale host builds on
+this microVM are fault-bound, see DEVIATIONS/README, so the driver run
+measures cached rungs instead of rebuilding). `--ladder 400000,16000000`
+pins an explicit list; `--ladder off` measures only --genome.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 driver-set north star is 100M queries/sec on a v5e-16, i.e. 6.25M
@@ -17,12 +28,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 NORTH_STAR_PER_CHIP = 100e6 / 16
+DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
 def gen_dspss(rng, genome_len: int, k: int, mean_unitig: int = 2000):
@@ -50,6 +63,167 @@ def gen_dspss(rng, genome_len: int, k: int, mean_unitig: int = 2000):
     return genome, unitigs
 
 
+def _log(msg: str) -> None:
+    sys.stderr.write(f"[bench] {msg}\n")
+
+
+def load_or_build_index(genome_len: int, k: int, cache_dir: str | None, rng):
+    """(genome, FinimizerIndex, build_seconds). Caches the serialized
+    index AND the genome per (genome_len, k) under cache_dir."""
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.index.index import FinimizerIndex
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    cache_prefix = genome_cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = f"g{genome_len}_k{k}"
+        cache_prefix = os.path.join(cache_dir, f"idx_{tag}")
+        genome_cache = os.path.join(cache_dir, f"genome_{tag}.npy")
+
+    if cache_prefix and os.path.exists(cache_prefix + ".sbwt") and os.path.exists(genome_cache):
+        genome = np.load(genome_cache)
+        t0 = time.perf_counter()
+        index = FinimizerIndex.load(cache_prefix)
+        build_s = time.perf_counter() - t0
+        _log(f"index loaded from cache in {build_s:.1f}s")
+    else:
+        genome, unitigs = gen_dspss(rng, genome_len, k)
+        t0 = time.perf_counter()
+        sbwt, node_keys = build_plain_matrix_sbwt(unitigs, k, return_keys=True)
+        lcs = lcs_array(sbwt)
+        index = FinimizerIndexBuilder(
+            sbwt, lcs, SeqDB.from_sequences(unitigs), node_keys=node_keys
+        ).get_index()
+        build_s = time.perf_counter() - t0
+        if cache_prefix:
+            index.serialize(cache_prefix)
+            np.save(genome_cache, genome)
+    sbwt = index.sbwt
+    _log(
+        f"index ready in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "
+        f"{sbwt.number_of_kmers()} kmers, "
+        f"{int(np.asarray(index.unitigs.ends).size)} unitigs"
+    )
+    return genome, index, build_s
+
+
+def run_rung(genome_len: int, args, rng) -> dict:
+    """Build/load one index size, measure steady-state throughput on the
+    device, differentially verify --verify reads against the exact host
+    oracle, and return the result row."""
+    import jax
+    import jax.numpy as jnp
+
+    from finito_tpu.io.seqdb import decode_seq
+    from finito_tpu.query.engine import DeviceQueryEngine
+
+    t_start = time.perf_counter()
+    genome, index, build_s = load_or_build_index(genome_len, args.k, args.cache_dir, rng)
+
+    t0 = time.perf_counter()
+    mcache = None
+    if args.cache_dir and args.engine == "minimizer":
+        mcache = os.path.join(args.cache_dir, f"midx_g{genome_len}_k{args.k}.ftmidx")
+    engine = DeviceQueryEngine(index, mode=args.engine, mindex_cache=mcache)
+    _log(f"engine init (incl. position table) {time.perf_counter()-t0:.1f}s")
+
+    # Query batch: reads sampled from the genome with point mutations.
+    B, L = args.batch, args.read_len
+    starts = rng.integers(0, genome_len - L, size=B)
+    reads = genome[starts[:, None] + np.arange(L)[None, :]].copy()
+    n_mut = int(args.mutate * reads.size)
+    mi = rng.integers(0, B, size=n_mut)
+    mj = rng.integers(0, L, size=n_mut)
+    reads[mi, mj] = (reads[mi, mj] + rng.integers(1, 4, size=n_mut)) % 4
+
+    # Device-resident steady-state measurement: the serving hot path keeps
+    # query batches on device (transfers pipeline with compute in
+    # production; this host's TPU tunnel would otherwise dominate).
+    frac0 = 0.5 if args.engine == "stream" else 0.10
+    pipe = engine.make_device_pipeline(B, L, unknown_frac=frac0)
+    reads_dev = jax.device_put(jnp.asarray(reads))
+    out = pipe(reads_dev)
+    jax.block_until_ready(out)
+    n_unknown = int(np.asarray(out[2]))
+    # Right-size the repair/slow-path capacity to the workload (steady
+    # state keeps one compiled program; its cost is proportional to K).
+    if args.engine in ("stream", "minimizer", "replica") and not (pipe.K // 2 <= n_unknown <= pipe.K):
+        frac = max(0.005, 1.3 * n_unknown / (B * (L - args.k + 1)))
+        _log(f"resizing slow path: {n_unknown} -> frac {frac:.4f}")
+        pipe = engine.make_device_pipeline(B, L, unknown_frac=frac)
+        out = pipe(reads_dev)
+        jax.block_until_ready(out)
+        n_unknown = int(np.asarray(out[2]))
+    if n_unknown > pipe.K:
+        raise AssertionError("pipeline slow-path overflow after resize")
+    if len(out) > 3 and getattr(pipe, "K_heads", None):
+        n_heads = int(np.asarray(out[3]))
+        if n_heads > pipe.K_heads:
+            raise AssertionError(
+                f"run-head capacity overflow: {n_heads} > {pipe.K_heads}"
+            )
+    uid = np.asarray(out[0])
+    n_win = uid.shape[1]
+    found_frac = float(np.mean(uid >= 0))
+
+    # Differential verification vs the exact host oracle (index.search):
+    # every window of --verify reads, spread across the batch.
+    off_h = np.asarray(out[1])
+    n_verify = max(1, min(args.verify, B))
+    t0 = time.perf_counter()
+    for b in range(0, B, max(1, B // n_verify))[:n_verify]:
+        res = index.search(decode_seq(reads[b])).local_offsets
+        got = [(int(uid[b, w]), int(off_h[b, w])) for w in range(n_win)]
+        assert got == res, f"mismatch vs oracle at read {b}"
+    _log(f"verified {n_verify} reads x {n_win} windows vs host oracle "
+         f"in {time.perf_counter()-t0:.1f}s")
+
+    # Timing forces completion of EVERY rep through an on-device checksum
+    # chain materialized to host at the end -- block_until_ready alone has
+    # been observed to return early on tunneled devices.
+    csum = jax.jit(
+        lambda u, o, s: s + jnp.sum(u, dtype=jnp.int32) + jnp.sum(o, dtype=jnp.int32)
+    )
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            s = jnp.int32(0)
+            for _ in range(args.reps):
+                out = pipe(reads_dev)
+                s = csum(out[0], out[1], s)
+            int(np.asarray(s))
+        _log(f"jax profiler trace written to {args.profile}")
+    dt = float("inf")
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        s = jnp.int32(0)
+        for _ in range(args.reps):
+            out = pipe(reads_dev)
+            s = csum(out[0], out[1], s)
+        int(np.asarray(s))
+        dt = min(dt, time.perf_counter() - t0)
+    qps = args.reps * B * n_win / dt
+
+    _log(
+        f"genome {genome_len}: {B} reads x {n_win} windows x {args.reps} reps "
+        f"in {dt:.3f}s; found fraction {found_frac:.3f}; "
+        f"rung wall {time.perf_counter()-t_start:.1f}s"
+    )
+    return {
+        "genome": genome_len,
+        "k": args.k,
+        "qps": round(qps, 1),
+        "vs_baseline": round(qps / NORTH_STAR_PER_CHIP, 4),
+        "found_frac": round(found_frac, 4),
+        "verified_reads": n_verify,
+        "verified_windows": n_verify * n_win,
+        "n_nodes": int(index.sbwt.number_of_subsets()),
+        "build_or_load_s": round(build_s, 1),
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--genome", type=int, default=400_000, help="synthetic genome length")
@@ -63,10 +237,16 @@ def main() -> int:
     p.add_argument("--mutate", type=float, default=0.005)
     p.add_argument("--engine", default="minimizer",
                    choices=["minimizer", "stream", "dense", "replica"])
-    p.add_argument("--cache-dir", default=None,
+    p.add_argument("--cache-dir", default=DEFAULT_CACHE,
                    help="cache the generated genome + built index per (genome,k) "
                    "here; genome-scale host builds on this microVM are "
-                   "fault-bound and worth reusing")
+                   "fault-bound and worth reusing (default: .bench_cache)")
+    p.add_argument("--ladder", default="auto",
+                   help="'auto': --genome plus any LARGER cached sizes; "
+                   "'off': only --genome; or an explicit comma list of sizes")
+    p.add_argument("--verify", type=int, default=8,
+                   help="reads per rung differentially verified against the "
+                   "exact host oracle (each ~n_windows k-mer queries)")
     args = p.parse_args()
 
     # Persistent compilation cache: remote TPU compiles here cost ~30-60s
@@ -83,140 +263,35 @@ def main() -> int:
 
     tune_host_allocator()
 
-    rng = np.random.default_rng(0)
-    t_start = time.perf_counter()
+    sizes = [args.genome]
+    if args.ladder == "auto":
+        if args.cache_dir and os.path.isdir(args.cache_dir):
+            import re
 
-    from finito_tpu.index.builder import FinimizerIndexBuilder
-    from finito_tpu.index.index import FinimizerIndex
-    from finito_tpu.io.seqdb import SeqDB
-    from finito_tpu.query.engine import DeviceQueryEngine
-    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
-    from finito_tpu.sbwt.lcs import lcs_array
+            for f in os.listdir(args.cache_dir):
+                mm = re.match(rf"idx_g(\d+)_k{args.k}\.sbwt$", f)
+                if mm and int(mm.group(1)) > args.genome:
+                    sizes.append(int(mm.group(1)))
+        sizes = sorted(set(sizes))
+    elif args.ladder != "off":
+        sizes = sorted({int(x) for x in args.ladder.split(",")})
 
-    import os
+    t_all = time.perf_counter()
+    ladder = []
+    for g in sizes:
+        rng = np.random.default_rng(0)  # per-rung determinism (cache match)
+        ladder.append(run_rung(g, args, rng))
+    _log(f"ladder of {len(ladder)} rungs; total wall {time.perf_counter()-t_all:.1f}s")
 
-    cache_prefix = genome_cache = None
-    if args.cache_dir:
-        os.makedirs(args.cache_dir, exist_ok=True)
-        tag = f"g{args.genome}_k{args.k}"
-        cache_prefix = os.path.join(args.cache_dir, f"idx_{tag}")
-        genome_cache = os.path.join(args.cache_dir, f"genome_{tag}.npy")
-
-    if cache_prefix and os.path.exists(cache_prefix + ".sbwt") and os.path.exists(genome_cache):
-        genome = np.load(genome_cache)
-        t0 = time.perf_counter()
-        index = FinimizerIndex.load(cache_prefix)
-        build_s = time.perf_counter() - t0
-        sys.stderr.write(f"[bench] index loaded from cache in {build_s:.1f}s\n")
-        sbwt = index.sbwt
-        n_unitigs = int(np.asarray(index.unitigs.ends).size)
-    else:
-        genome, unitigs = gen_dspss(rng, args.genome, args.k)
-        t0 = time.perf_counter()
-        sbwt, node_keys = build_plain_matrix_sbwt(unitigs, args.k, return_keys=True)
-        lcs = lcs_array(sbwt)
-        index = FinimizerIndexBuilder(
-            sbwt, lcs, SeqDB.from_sequences(unitigs), node_keys=node_keys
-        ).get_index()
-        build_s = time.perf_counter() - t0
-        n_unitigs = len(unitigs)
-        if cache_prefix:
-            index.serialize(cache_prefix)
-            np.save(genome_cache, genome)
-    sys.stderr.write(
-        f"[bench] index ready in {build_s:.1f}s: {sbwt.number_of_subsets()} nodes, "
-        f"{sbwt.number_of_kmers()} kmers, {n_unitigs} unitigs\n"
-    )
-
-    t0 = time.perf_counter()
-    engine = DeviceQueryEngine(index, mode=args.engine)
-    sys.stderr.write(f"[bench] engine init (incl. position table) {time.perf_counter()-t0:.1f}s\n")
-
-    # Query batch: reads sampled from the genome with point mutations.
-    B, L = args.batch, args.read_len
-    starts = rng.integers(0, args.genome - L, size=B)
-    reads = genome[starts[:, None] + np.arange(L)[None, :]].copy()
-    n_mut = int(args.mutate * reads.size)
-    mi = rng.integers(0, B, size=n_mut)
-    mj = rng.integers(0, L, size=n_mut)
-    reads[mi, mj] = (reads[mi, mj] + rng.integers(1, 4, size=n_mut)) % 4
-
-    # Device-resident steady-state measurement: the serving hot path keeps
-    # query batches on device (transfers pipeline with compute in
-    # production; this host's TPU tunnel would otherwise dominate).
-    import jax
-    import jax.numpy as jnp
-
-    frac0 = 0.5 if args.engine == "stream" else 0.10
-    pipe = engine.make_device_pipeline(B, L, unknown_frac=frac0)
-    reads_dev = jax.device_put(jnp.asarray(reads))
-    out = pipe(reads_dev)
-    jax.block_until_ready(out)
-    n_unknown = int(np.asarray(out[2]))
-    # Right-size the repair/slow-path capacity to the workload (steady
-    # state keeps one compiled program; its cost is proportional to K).
-    if args.engine in ("stream", "minimizer", "replica") and not (pipe.K // 2 <= n_unknown <= pipe.K):
-        frac = max(0.005, 1.3 * n_unknown / (B * (L - args.k + 1)))
-        sys.stderr.write(f"[bench] resizing slow path: {n_unknown} -> frac {frac:.4f}\n")
-        pipe = engine.make_device_pipeline(B, L, unknown_frac=frac)
-        out = pipe(reads_dev)
-        jax.block_until_ready(out)
-        n_unknown = int(np.asarray(out[2]))
-    if n_unknown > pipe.K:
-        raise AssertionError("pipeline slow-path overflow after resize")
-    if len(out) > 3 and getattr(pipe, "K_heads", None):
-        n_heads = int(np.asarray(out[3]))
-        if n_heads > pipe.K_heads:
-            raise AssertionError(
-                f"run-head capacity overflow: {n_heads} > {pipe.K_heads}"
-            )
-    uid = np.asarray(out[0])
-    n_win = uid.shape[1]
-    found_frac = float(np.mean(uid >= 0))
-    # cross-check a few reads against the exact host oracle
-    from finito_tpu.io.seqdb import decode_seq
-
-    off_h = np.asarray(out[1])
-    for b in range(0, B, max(1, B // 7)):
-        res = index.search(decode_seq(reads[b])).local_offsets
-        got = [(int(uid[b, w]), int(off_h[b, w])) for w in range(n_win)]
-        assert got == res, f"mismatch vs oracle at read {b}"
-    # Timing forces completion of EVERY rep through an on-device checksum
-    # chain materialized to host at the end -- block_until_ready alone has
-    # been observed to return early on tunneled devices.
-    csum = jax.jit(
-        lambda u, o, s: s + jnp.sum(u, dtype=jnp.int32) + jnp.sum(o, dtype=jnp.int32)
-    )
-    if args.profile:
-        with jax.profiler.trace(args.profile):
-            s = jnp.int32(0)
-            for _ in range(args.reps):
-                out = pipe(reads_dev)
-                s = csum(out[0], out[1], s)
-            int(np.asarray(s))
-        sys.stderr.write(f"[bench] jax profiler trace written to {args.profile}\n")
-    dt = float("inf")
-    for _ in range(args.trials):
-        t0 = time.perf_counter()
-        s = jnp.int32(0)
-        for _ in range(args.reps):
-            out = pipe(reads_dev)
-            s = csum(out[0], out[1], s)
-        int(np.asarray(s))
-        dt = min(dt, time.perf_counter() - t0)
-    qps = args.reps * B * n_win / dt
-
-    sys.stderr.write(
-        f"[bench] {B} reads x {n_win} windows x {args.reps} reps in {dt:.3f}s; "
-        f"found fraction {found_frac:.3f}; total wall {time.perf_counter()-t_start:.1f}s\n"
-    )
+    head = ladder[0]  # smallest rung: comparable across rounds
     print(
         json.dumps(
             {
                 "metric": "kmer_localization_throughput_1chip",
-                "value": round(qps, 1),
+                "value": head["qps"],
                 "unit": "kmer_queries/sec",
-                "vs_baseline": round(qps / NORTH_STAR_PER_CHIP, 4),
+                "vs_baseline": head["vs_baseline"],
+                "ladder": ladder,
             }
         )
     )

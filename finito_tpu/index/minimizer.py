@@ -136,6 +136,7 @@ class MinimizerIndex:
         k: int,
         m: int | None = None,
         slot_factor: int = 32,
+        force_h: int | None = None,
     ) -> "MinimizerIndex":
         """concat: 2-bit codes of all unitigs back to back (permuted order,
         same layout as PackedStrings.concat); ends: exclusive end offsets.
@@ -143,6 +144,15 @@ class MinimizerIndex:
         For every valid window (not crossing a unitig boundary) the
         leftmost-lowest m-minimizer position is recorded; positions are
         deduped and bucketed by minimizer value.
+
+        Texts past 2^31 bases build fine on the host (occ_gstart widens
+        to int64); they exceed int32 DEVICE addressing, so single-chip
+        upload (DeviceMinimizerIndex) rejects them -- shard over the tp
+        mesh axis instead (parallel.mesh.ShardedMinimizerIndex.build,
+        whose per-shard texts are int32-addressable).
+
+        force_h pins the slot-table size 2^force_h (the tp-sharded form
+        stacks per-shard tables, which therefore need a uniform h).
         """
         concat = np.asarray(concat, dtype=np.uint8)
         ends64 = np.asarray(ends, dtype=np.int64)
@@ -157,11 +167,6 @@ class MinimizerIndex:
             m = default_m(k)
         if m > k:
             m = k
-        if n >= (1 << 31):
-            raise ValueError(
-                "unitig text exceeds int32 device addressing (2^31 bases); "
-                "shard the index over the tp mesh axis"
-            )
         mv = pack_mvals(concat, m)
         hv = mix32(mv)  # selection order; bucket addressing stays on mv
         R = k - m + 1
@@ -202,7 +207,10 @@ class MinimizerIndex:
         # fraction is ~the window-weighted load factor (A/B-measured
         # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
-        h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
+        if force_h is not None:
+            h = int(force_h)
+        else:
+            h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
         if order is None:
@@ -217,18 +225,49 @@ class MinimizerIndex:
         ustart = np.where(uid > 0, ends64[np.maximum(uid - 1, 0)], 0)
         off = pos - ustart
 
+        gstart_dt = np.int64 if n >= (1 << 31) else np.int32
         return MinimizerIndex(
             k=k,
             m=m,
             h=h,
             desc=desc,
             occ_key=key.astype(np.uint32),
-            occ_gstart=pos.astype(np.int32),
+            occ_gstart=pos.astype(gstart_dt),
             occ_uid=uid.astype(np.int32),
-            occ_off=off.astype(np.int32),
+            occ_off=off.astype(gstart_dt),
             concat=concat,
             ends=ends64,
         )
+
+    def rebucket(self, h: int) -> "MinimizerIndex":
+        """Re-address the slot table with h slot bits (in place; returns
+        self). Occurrences re-sort by (new slot, value) and desc is
+        rebuilt -- answers are unchanged (the slot table is a pure
+        lookup accelerator). Used by the tp-sharded form, which stacks
+        per-shard tables and therefore needs a uniform h."""
+        h = int(h)
+        if h == self.h:
+            return self
+        slots = (slot32(self.occ_key) >> np.uint32(32 - h)).astype(np.int64)
+        from finito_tpu import native
+
+        order = native.argsort_u64(
+            (slots.astype(np.uint64) << np.uint64(32)) | self.occ_key
+        )
+        if order is None:
+            order = np.lexsort((self.occ_key, slots))
+        self.occ_key = self.occ_key[order]
+        self.occ_gstart = self.occ_gstart[order]
+        self.occ_uid = self.occ_uid[order]
+        self.occ_off = self.occ_off[order]
+        counts = (
+            np.bincount(slots[order], minlength=1 << h)
+            if self.occ_key.size
+            else np.zeros(1 << h, np.int64)
+        )
+        self.desc = _pack_desc(counts)
+        self.h = h
+        return self
 
     @staticmethod
     def from_finimizer_index(index, m: int | None = None) -> "MinimizerIndex":
@@ -245,11 +284,15 @@ class MinimizerIndex:
         (the reference's kmer-mapper uses magic 'KMIDXv01' + a bincode
         payload, main.rs:63-72; ours is its spiritual twin)."""
         headers_blob = b"\n".join(self.headers) if self.headers is not None else b""
+        # gstart/off widen to 8-byte little-endian past 2^31 bases; the
+        # reader infers the width from the section size (element count
+        # is pinned by occ_key)
+        pos_dt = "<i8" if self.occ_gstart.dtype.itemsize == 8 else "<i4"
         arrs = [
             self.occ_key.astype("<u4"),
-            self.occ_gstart.astype("<i4"),
+            self.occ_gstart.astype(pos_dt),
             self.occ_uid.astype("<i4"),
-            self.occ_off.astype("<i4"),
+            self.occ_off.astype(pos_dt),
             self.concat.astype("u1"),
             self.ends.astype("<i8"),
             np.frombuffer(headers_blob, dtype="u1"),
@@ -273,9 +316,10 @@ class MinimizerIndex:
                 (nb,) = struct.unpack("<q", f.read(8))
                 raw.append(f.read(nb))
         occ_key = np.frombuffer(raw[0], dtype="<u4")
-        occ_gstart = np.frombuffer(raw[1], dtype="<i4")
+        pos_dt = "<i8" if len(raw[1]) == 8 * occ_key.size and occ_key.size else "<i4"
+        occ_gstart = np.frombuffer(raw[1], dtype=pos_dt)
         occ_uid = np.frombuffer(raw[2], dtype="<i4")
-        occ_off = np.frombuffer(raw[3], dtype="<i4")
+        occ_off = np.frombuffer(raw[3], dtype=pos_dt)
         concat = np.frombuffer(raw[4], dtype="u1")
         ends = np.frombuffer(raw[5], dtype="<i8")
         headers = raw[6].split(b"\n") if len(raw) > 6 and raw[6] else None

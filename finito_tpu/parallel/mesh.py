@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from finito_tpu.ops.bitvec import DeviceSBWT
 
@@ -209,7 +209,7 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
             P("dp", None),  # codes
         ),
         out_specs=(P("dp", None), P("dp", None)),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -237,79 +237,150 @@ def sharded_locate_fn(mesh: Mesh, sh: ShardedIndex):
 class ShardedMinimizerIndex:
     """The throughput (minimizer) engine's index sharded for (dp, tp).
 
-    The SLOT space [0, 2^h) splits into tp contiguous ranges; desc and
-    the occurrence arrays are slot-sorted, so each shard holds a
-    contiguous slice (slot starts rebased shard-locally). Every query
-    window is owned by exactly one shard -- the one whose range contains
-    its minimizer's slot -- so the combine is a single psum of owner
-    contributions over tp. The packed text is replicated (2-4 bits/base;
-    the big arrays at pangenome scale are desc + occurrences).
+    TEXT-sharded design (round 3): unitigs split into tp contiguous
+    ranges balanced by text size, and each shard is a complete
+    shard-LOCAL minimizer index over its own slice -- its own packed
+    text, occurrence rows, and hash-slot table (uniform h across shards
+    so the tables stack on a leading tp axis). Nothing is replicated;
+    per-shard memory is ~1/tp of everything, so total capacity scales
+    linearly with tp and per-shard texts stay int32-addressable at any
+    total size (pangenome scale, BASELINE configs[3-4]).
+
+    Queries broadcast over tp: every shard runs the same single-chip
+    locate against its local tables (the minimizer computation is cheap
+    VPU work; the big-table gathers -- the actual cost -- are all
+    shard-local and tp-times smaller, usually pulling the descriptor
+    table back under the v5e 32 MB gather-rate cliff). A present k-mer's
+    text occurrence lives in exactly one shard, so the combine is one
+    psum of owner contributions over tp; absent k-mers fail the text
+    verify everywhere. Construction never materializes a global index:
+    each shard builds independently from its text slice
+    (ShardedMinimizerIndex.build), which is also what lifts the old
+    2^31-base global cap.
     """
 
-    desc: np.ndarray  # (tp, V) uint32, shard-local starts
-    occ_rows: np.ndarray  # (tp, occ_per_shard, 4) int32
+    desc: np.ndarray  # (tp, V + 1, 2) int32 rows [start, exact_len]
+    occ_rows: np.ndarray  # (tp, occ_per_shard, 4) int32 (shard-local g/uend, GLOBAL uid)
     n_occ: np.ndarray  # (tp,) int32 true occurrence count per shard
-    text_rows: np.ndarray  # replicated overlapped rows (k <= 32)
+    text_arr: np.ndarray  # (tp, ...) shard-local text: overlapped rows
+    # (k <= 32: (rows,4); k <= 64: (rows,8)) or packed words (k > 64)
     k: int
     m: int
-    h: int
-    V: int  # slots per shard
+    h: int  # uniform shard-local slot bits
+    V: int  # slots per shard table (2^h)
+    uid_base: np.ndarray  # (tp,) int32 first global unitig id of each shard
+    text_base: np.ndarray  # (tp,) int64 first global base of each shard
+
+    @staticmethod
+    def build(
+        concat: np.ndarray,
+        ends: np.ndarray,
+        k: int,
+        tp: int,
+        m: int | None = None,
+        slot_factor: int = 32,
+    ) -> "ShardedMinimizerIndex":
+        """Construct directly from the unitig text, one shard at a time
+        -- no single-host full index is ever built, and peak host memory
+        is one shard's working set. Each shard's text must stay below
+        2^31 bases (raise tp for larger inputs)."""
+        from finito_tpu.index.minimizer import MinimizerIndex
+
+        concat = np.asarray(concat, dtype=np.uint8)
+        ends64 = np.asarray(ends, dtype=np.int64)
+        total = int(concat.size)
+        # contiguous unitig ranges with balanced text sizes
+        targets = (np.arange(1, tp + 1) * total) // tp
+        cut = np.unique(np.searchsorted(ends64, targets, side="left"))
+        cut = np.concatenate([[0], np.minimum(cut + 1, ends64.size)])
+        if cut.size < tp + 1:  # degenerate: fewer unitigs than shards
+            cut = np.concatenate([cut, np.full(tp + 1 - cut.size, ends64.size)])
+        shards = []
+        for s in range(tp):
+            a, b = int(cut[s]), int(cut[s + 1])
+            t0 = int(ends64[a - 1]) if a > 0 else 0
+            t1 = int(ends64[b - 1]) if b > a else t0
+            if t1 - t0 >= (1 << 31):
+                raise ValueError(
+                    f"shard {s} holds {t1 - t0} bases >= 2^31; increase tp"
+                )
+            mi = MinimizerIndex.build(
+                concat[t0:t1], ends64[a:b] - t0, k, m, slot_factor
+            )
+            shards.append((mi, a, t0))
+        h_u = max(mi.h for mi, _, _ in shards)
+        for mi, _, _ in shards:
+            mi.rebucket(h_u)
+        return ShardedMinimizerIndex._stack(shards, k, tp, h_u)
 
     @staticmethod
     def from_minimizer_index(mindex, tp: int) -> "ShardedMinimizerIndex":
-        from finito_tpu.index.minimizer import _LEN_BITS, _LEN_MAX, slot32
+        """Shard an existing single-host index (compatibility path: the
+        per-shard tables are REBUILT from its text; prefer build() to
+        skip constructing the single-host index at all)."""
+        return ShardedMinimizerIndex.build(
+            np.asarray(mindex.concat, np.uint8),
+            np.asarray(mindex.ends, np.int64),
+            mindex.k,
+            tp,
+            m=mindex.m,
+        )
+
+    @staticmethod
+    def _stack(shards, k: int, tp: int, h_u: int) -> "ShardedMinimizerIndex":
         from finito_tpu.query.minimizer_engine import (
             _n_words,
             build_occ_rows,
             build_text_rows,
             build_text_rows8,
+            desc_to_rows,
             pack_text_words,
         )
 
-        if mindex.k > 64:
-            raise ValueError("sharded minimizer locate currently requires k <= 64")
-        h = mindex.h
-        n_slots = 1 << h
-        V = -(-n_slots // tp)
-        slots = (slot32(mindex.occ_key) >> np.uint32(32 - h)).astype(np.int64)
-        bounds = np.searchsorted(slots, np.arange(tp + 1) * V)
-        per = int(max(1, (np.diff(bounds)).max()))
-        if per >= (1 << (32 - _LEN_BITS)):
-            raise ValueError(
-                "a tp shard holds >= 2^26 occurrences; increase tp "
-                "(per-shard descriptors rebase starts into 26 bits)"
-            )
-        desc = np.zeros((tp, V + 1), dtype=np.uint32)  # +1: next-slot-start pad
+        V = 1 << h_u
+        m = shards[0][0].m
+        per = int(max(1, max(mi.occ_key.size for mi, _, _ in shards)))
+        desc = np.zeros((tp, V + 1, 2), dtype=np.int32)
         occ_rows = np.zeros((tp, per, 4), dtype=np.int32)
         n_occ = np.zeros(tp, dtype=np.int32)
-        rows_all = build_occ_rows(mindex)  # same layout as the 1-chip engine
-        for s in range(tp):
-            a, b = int(bounds[s]), int(bounds[s + 1])
-            lo_s, hi_s = s * V, min(n_slots, (s + 1) * V)
-            # int64 read: the GLOBAL desc is uint64 past 2^26 occurrences
-            d = np.asarray(mindex.desc[lo_s : hi_s + 1], np.int64)  # incl. pad
-            starts = (d >> _LEN_BITS) - a  # rebase into the shard
-            lens = (d & _LEN_MAX).astype(np.uint32)
-            desc[s, : hi_s + 1 - lo_s] = (
-                (starts.astype(np.uint32) << np.uint32(_LEN_BITS)) | lens
+        uid_base = np.zeros(tp, dtype=np.int32)
+        text_base = np.zeros(tp, dtype=np.int64)
+        texts = []
+        for s, (mi, a, t0) in enumerate(shards):
+            desc[s] = desc_to_rows(mi.desc)
+            rows = build_occ_rows(mi)  # shard-local g/off/uend, local uid
+            occ_rows[s, : rows.shape[0]] = rows
+            n_occ[s] = rows.shape[0]
+            uid_base[s] = a
+            text_base[s] = t0
+            words = pack_text_words(
+                np.asarray(mi.concat, np.uint8), _n_words(k) + 5
             )
-            occ_rows[s, : b - a] = rows_all[a:b]
-            n_occ[s] = b - a
-        words = pack_text_words(np.asarray(mindex.concat, np.uint8), _n_words(mindex.k) + 5)
-        text_rows = (
-            build_text_rows(words) if mindex.k <= 32 else build_text_rows8(words)
-        )
+            if k <= 32:
+                texts.append(build_text_rows(words))
+            elif k <= 64:
+                texts.append(build_text_rows8(words))
+            else:
+                texts.append(words)
+        shape1 = max(t.shape[0] for t in texts)
+        text_arr = np.zeros((tp, shape1) + texts[0].shape[1:], texts[0].dtype)
+        for s, t in enumerate(texts):
+            text_arr[s, : t.shape[0]] = t
         return ShardedMinimizerIndex(
-            desc=desc, occ_rows=occ_rows, n_occ=n_occ,
-            text_rows=text_rows, k=mindex.k, m=mindex.m, h=h, V=V,
+            desc=desc, occ_rows=occ_rows, n_occ=n_occ, text_arr=text_arr,
+            k=k, m=m, h=h_u, V=V, uid_base=uid_base, text_base=text_base,
         )
 
 
 def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: int = 4096):
     """pjit-ed minimizer locate over (dp, tp): batch sharded over dp,
-    minimizer SLOT ranges over tp; one psum combines owner answers."""
-    from finito_tpu.index.minimizer import _LEN_BITS, _LEN_MAX
+    TEXT (unitig ranges) over tp. Every shard runs the single-chip
+    locate against its shard-local tables; a present k-mer verifies in
+    exactly one shard's text, so one psum combines the answers. Any
+    k <= 255 (k > 64 uses the rolling packed-word matcher on the
+    shard-local text, like the single-chip engine)."""
     from finito_tpu.query.minimizer_engine import (
+        _match_text_kmer,
         _match_text_kmer_rows,
         _match_text_kmer_rows8,
         _word_masks,
@@ -317,16 +388,17 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         slot32_device,
     )
 
-    k, m, hbits, V = sh.k, sh.m, sh.h, sh.V
+    k, m, hbits = sh.k, sh.m, sh.h
     R = k - m + 1
     masks = _word_masks(k)
     NW = len(masks)
 
-    def locate(desc, occ_rows, n_occ, text_rows, codes):
+    def locate(desc, occ_rows, n_occ, text_arr, uid_base, codes):
         desc = desc[0]
         occ_rows = occ_rows[0]
         n_occ = n_occ[0]
-        slot_start = lax.axis_index("tp").astype(jnp.uint32) * jnp.uint32(V)
+        text_arr = text_arr[0]
+        uid_b = uid_base[0]
 
         B, L = codes.shape
         W = L - k + 1
@@ -360,12 +432,12 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
                 qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
             q_words.append(qw)
 
-        slot = slot32_device(best_v) >> jnp.uint32(32 - hbits)
-        local_s = slot - slot_start
-        mine = ~bad & (local_s < jnp.uint32(V))  # unsigned: below range wraps
-        d = jnp.take(desc, jnp.where(mine, local_s, 0).astype(jnp.int32))
-        start = (d >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
-        ln = jnp.where(mine, (d & jnp.uint32(_LEN_MAX)).astype(jnp.int32), 0)
+        # shard-local slot lookup: no ownership test -- a window whose
+        # k-mer lives elsewhere simply fails this shard's text verify
+        slot = (slot32_device(best_v) >> jnp.uint32(32 - hbits)).astype(jnp.int32)
+        d = jnp.take(desc, jnp.where(bad, 0, slot), axis=0)  # (B, W, 2)
+        start = d[..., 0]
+        ln = jnp.where(bad, 0, d[..., 1])
 
         def check(idx, o, qws):
             # same candidate check as the 1-chip engine, on shard-local rows
@@ -374,9 +446,14 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
             g_w = g_m - o
             off_w = off_m - o
             ok = (off_w >= 0) & (g_w + k <= uend)
-            matcher = _match_text_kmer_rows if k <= 32 else _match_text_kmer_rows8
-            match = ok & matcher(text_rows, jnp.maximum(g_w, 0), qws, masks)
-            return match, uid, off_w
+            g_safe = jnp.maximum(g_w, 0)
+            if k <= 32:
+                mt = _match_text_kmer_rows(text_arr, g_safe, qws, masks)
+            elif k <= 64:
+                mt = _match_text_kmer_rows8(text_arr, g_safe, qws, masks)
+            else:
+                mt = _match_text_kmer(text_arr, g_safe, qws, masks, k)
+            return ok & mt, uid, off_w
 
         fast = ln == 1
         match, uid_f, off_f = check(jnp.where(fast, start, 0), best_o, q_words)
@@ -392,9 +469,8 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         s_start = jnp.take(start.reshape(-1), safe)
-        # exact slot end = next slot's start (length field saturates)
-        s_slot = jnp.take(jnp.where(mine, local_s, 0).astype(jnp.int32).reshape(-1), safe)
-        s_end = (jnp.take(desc, s_slot + 1) >> jnp.uint32(_LEN_BITS)).astype(jnp.int32)
+        # exact slot end from the length column
+        s_end = s_start + jnp.take(ln.reshape(-1), safe)
         s_o = jnp.take(best_o.reshape(-1), safe)
         s_qw = [jnp.take(q.reshape(-1), safe) for q in q_words]
 
@@ -421,8 +497,9 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         uid = uid.reshape(-1).at[sink].set(uid_s, mode="drop").reshape(B, W)
         off = off.reshape(-1).at[sink].set(off_s, mode="drop").reshape(B, W)
 
-        # owner-shard psum combine (non-owners and not-found contribute 0)
-        uid = lax.psum(jnp.where(uid >= 0, uid + 1, 0), "tp") - 1
+        # owner-shard psum combine (not-found shards contribute 0);
+        # local unitig ids globalize with the shard's uid base
+        uid = lax.psum(jnp.where(uid >= 0, uid + uid_b + 1, 0), "tp") - 1
         off = lax.psum(jnp.where(off >= 0, off + 1, 0), "tp") - 1
         # worst per-shard slow count anywhere on the mesh (capacity check)
         n_slow = lax.pmax(lax.pmax(n_slow, "tp"), "dp")
@@ -432,28 +509,30 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         locate,
         mesh=mesh,
         in_specs=(
-            P("tp", None),  # desc
+            P("tp", None, None),  # desc rows
             P("tp", None, None),  # occ_rows
             P("tp"),  # n_occ
-            P(),  # text_rows
+            P("tp", *([None] * (sh.text_arr.ndim - 1))),  # shard-local text
+            P("tp"),  # uid_base
             P("dp", None),  # codes
         ),
         out_specs=(P("dp", None), P("dp", None), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
-    def run(desc, occ_rows, n_occ, text_rows, codes):
-        return shmapped(desc, occ_rows, n_occ, text_rows, codes)
+    def run(desc, occ_rows, n_occ, text_arr, uid_base, codes):
+        return shmapped(desc, occ_rows, n_occ, text_arr, uid_base, codes)
 
     def call(codes):
         args = [
             jax.device_put(x, NamedSharding(mesh, spec))
             for x, spec in (
-                (sh.desc, P("tp", None)),
+                (sh.desc, P("tp", None, None)),
                 (sh.occ_rows, P("tp", None, None)),
                 (sh.n_occ, P("tp")),
-                (sh.text_rows, P()),
+                (sh.text_arr, P("tp", *([None] * (sh.text_arr.ndim - 1)))),
+                (sh.uid_base, P("tp")),
             )
         ]
         codes = jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P("dp", None)))
@@ -542,7 +621,7 @@ def sharded_lcs_fn(mesh: Mesh, sbwt):
         mesh=flat_mesh,
         in_specs=(P("D"), P("D", None), P("D", None)),
         out_specs=P("D"),
-        check_rep=False,
+        check_vma=False,
     )
     run = jax.jit(shmapped)
     args = [

@@ -113,15 +113,24 @@ def _locate_dense(dsbwt: DeviceSBWT, uid_table, off_table, codes, k: int):
 class DeviceQueryEngine:
     """Batched (unitig, offset) localization over a loaded FinimizerIndex."""
 
-    def __init__(self, index: FinimizerIndex, mode: str = "dense", mesh=None):
+    def __init__(
+        self, index: FinimizerIndex, mode: str = "dense", mesh=None,
+        mindex_cache: str | None = None,
+    ):
         """mesh: optional (dp, tp) ints. With dp*tp > 1 (minimizer mode
         only) the locate runs as the shard_map'd multi-chip pipeline of
-        parallel.mesh -- the batch sharded over dp, minimizer slot ranges
-        over tp -- instead of the single-device program. This is the
+        parallel.mesh -- the batch sharded over dp, the unitig text over
+        tp -- instead of the single-device program. This is the
         product CLI's scale-out path (`search-fmin --mesh dp,tp`);
         output is identical to the single-device engine (tested on the
-        virtual CPU mesh)."""
+        virtual CPU mesh).
+
+        mindex_cache: optional path; the minimizer engine's derived
+        MinimizerIndex is loaded from it when present and serialized to
+        it after a build (the host-side derivation is minutes at
+        genome scale)."""
         self.index = index
+        self._mindex_cache = mindex_cache
         self.k = index.sbwt.get_k()
         self.mode = mode
         self.mesh_shape = tuple(mesh) if mesh else None
@@ -199,7 +208,6 @@ class DeviceQueryEngine:
         elif mode == "minimizer" and self.mesh_shape:
             import jax as _jax
 
-            from finito_tpu.index.minimizer import MinimizerIndex
             from finito_tpu.parallel.mesh import (
                 ShardedMinimizerIndex,
                 make_mesh,
@@ -213,8 +221,14 @@ class DeviceQueryEngine:
                     f"found {len(_jax.devices())}"
                 )
             self.mesh = make_mesh(dp * tp, tp=tp)
-            mindex = MinimizerIndex.from_finimizer_index(index)
-            sh = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
+            # shard-local builds straight from the unitig text: no
+            # single-host full index is ever constructed on this path
+            sh = ShardedMinimizerIndex.build(
+                np.asarray(index.unitigs.concat, np.uint8),
+                np.asarray(index.unitigs.ends, np.int64),
+                self.k,
+                tp=tp,
+            )
             k = self.k
             mesh_cache = {}
 
@@ -243,7 +257,15 @@ class DeviceQueryEngine:
                 make_minimizer_locate_v2,
             )
 
-            self._dmi = DeviceMinimizerIndex(MinimizerIndex.from_finimizer_index(index))
+            import os as _os2
+
+            if self._mindex_cache and _os2.path.exists(self._mindex_cache):
+                mindex = MinimizerIndex.load(self._mindex_cache)
+            else:
+                mindex = MinimizerIndex.from_finimizer_index(index)
+                if self._mindex_cache:
+                    mindex.serialize(self._mindex_cache)
+            self._dmi = DeviceMinimizerIndex(mindex)
             dmi = self._dmi
             # Past the measured v5e gather-rate cliff (~103 M/s under
             # 32 MB -> ~63 M/s at 128 MB+) the run-deduplicated v2 form

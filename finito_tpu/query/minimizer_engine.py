@@ -148,6 +148,13 @@ class DeviceMinimizerIndex:
         return obj
 
     def __init__(self, mindex: MinimizerIndex):
+        if int(mindex.concat.size) >= (1 << 31):
+            raise ValueError(
+                "unitig text exceeds int32 single-chip addressing (2^31 "
+                "bases); use the tp-sharded form "
+                "(parallel.mesh.ShardedMinimizerIndex.build) whose "
+                "per-shard texts stay int32-addressable"
+            )
         self.k = mindex.k
         self.m = mindex.m
         self.h = mindex.h

@@ -106,19 +106,17 @@ def test_all_kmers_cover_shard_boundaries(setup):
         np.testing.assert_array_equal(np.asarray(om)[:, :1], off1)
 
 
-def test_minimizer_seam_slots_are_exercised(setup):
-    """Deliberate seam pressure: a slot_factor=1 table packs occupied
-    slots densely, so every tp split has occupied slots directly at the
-    seams (asserted, not assumed); the sharded locate must still equal
-    the single-device answer on the all-k-mers query set."""
+def test_minimizer_sharded_collision_pressure(setup):
+    """Adversarial table pressure: a slot_factor=1 table is saturated
+    with collisions (multi-occurrence slots in EVERY shard -- asserted,
+    not assumed), so the shard-local slow path and the cross-shard psum
+    combine both carry real weight; answers must still equal the
+    single-device engine on the all-k-mers query set. Seam analog of
+    the text-sharded design: the boundary unitigs of every tp split are
+    queried (the all-k-mers set includes each unitig's k-mers)."""
     index, engine, _r, _u, _o = setup
-    from finito_tpu.index.minimizer import slot32
 
     k = index.sbwt.get_k()
-    mindex = MinimizerIndex.build(
-        np.asarray(index.unitigs.concat), np.asarray(index.unitigs.ends),
-        k, slot_factor=1,
-    )
     concat = np.asarray(index.unitigs.concat)
     ends = np.asarray(index.unitigs.ends)
     wins, s = [], 0
@@ -131,17 +129,83 @@ def test_minimizer_seam_slots_are_exercised(setup):
     reads = np.vstack([reads, np.full((pad, k), 255, np.uint8)])
     uid1, off1 = engine.locate_batch(reads)
 
-    occ_slots = (slot32(mindex.occ_key) >> np.uint32(32 - mindex.h)).astype(np.int64)
     for tp in (2, 4, 8):
-        shm = ShardedMinimizerIndex.from_minimizer_index(mindex, tp=tp)
-        V = shm.V
-        local = occ_slots % V
-        assert np.any(local <= 1) and np.any(local >= V - 2), tp  # seams occupied
+        shm = ShardedMinimizerIndex.build(concat, ends, k, tp, slot_factor=1)
+        # every shard's saturated table really has multi-occurrence slots
+        assert all(
+            int(shm.desc[s_, : shm.V, 1].max()) >= 2
+            for s_ in range(tp)
+            if int(shm.n_occ[s_]) >= 4
+        ), tp
+        # the partition covers every occurrence exactly once
+        mi_full = MinimizerIndex.build(concat, ends, k, slot_factor=1)
+        assert int(np.asarray(shm.n_occ).sum()) == int(mi_full.occ_key.size)
         mesh = make_mesh(8, tp=tp)
         um, om, ns = sharded_minimizer_locate_fn(mesh, shm, K_slow=4096)(reads)
         assert int(np.asarray(ns)) <= 4096
         np.testing.assert_array_equal(np.asarray(um)[:, :1], uid1)
         np.testing.assert_array_equal(np.asarray(om)[:, :1], off1)
+
+
+def test_sharded_text_memory_scales_down():
+    """The text-sharded design's reason to exist: per-shard device
+    bytes (text + occurrences + table) shrink as tp grows, because
+    NOTHING is replicated -- each shard holds only its own unitig
+    range. This is what makes > single-chip-HBM indexes reachable."""
+    rng = np.random.default_rng(3)
+    k = 21
+    from finito_tpu.io.seqdb import encode_seq
+
+    unitigs = gen_dspss(rng, 60, 120, 400, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in unitigs])
+    ends = np.cumsum([len(u) for u in unitigs])
+
+    def shard_bytes(shm):
+        per = shm.text_arr.nbytes + shm.occ_rows.nbytes + shm.desc.nbytes
+        return per // shm.text_arr.shape[0]  # per-shard share
+
+    b1 = shard_bytes(ShardedMinimizerIndex.build(concat, ends, k, 1))
+    b4 = shard_bytes(ShardedMinimizerIndex.build(concat, ends, k, 4))
+    assert b4 * 2 < b1, (b1, b4)  # at least 2x down at tp=4 (padding slack)
+
+
+@pytest.mark.parametrize("k", [65, 129])
+def test_sharded_minimizer_large_k(k):
+    """64 < k <= 255: the sharded locate uses the rolling packed-word
+    matcher on shard-local text (the reference supports k <= 250,
+    Makefile:3 MAX_KMER_LENGTH); answers equal the single-chip engine."""
+    rng = np.random.default_rng(k)
+    from finito_tpu.io.seqdb import encode_seq
+
+    unitigs = gen_dspss(rng, 20, k + 80, k + 200, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in unitigs])
+    ends = np.cumsum([len(u) for u in unitigs])
+    mindex = MinimizerIndex.build(concat, ends, k)
+    from finito_tpu.query.minimizer_engine import (
+        DeviceMinimizerIndex,
+        make_minimizer_locate,
+    )
+
+    dmi = DeviceMinimizerIndex(mindex)
+    L = k + 40
+    B = 16
+    reads = np.full((B, L), 255, np.uint8)
+    s = 0
+    for b, u in enumerate(unitigs[:B]):
+        codes = encode_seq(u.encode())
+        reads[b, : min(L, codes.size)] = codes[:L]
+    mut = rng.integers(0, L, size=B)
+    reads[np.arange(B) % B, mut] = (reads[np.arange(B) % B, mut] + 1) % 4
+    uid1, off1, _ = make_minimizer_locate(dmi, K_slow=512)(reads)
+    uid1, off1 = np.asarray(uid1), np.asarray(off1)
+    assert np.any(uid1 >= 0)
+
+    for tp in (2, 8):
+        mesh = make_mesh(8, tp=tp)
+        shm = ShardedMinimizerIndex.build(concat, ends, k, tp)
+        um, om, ns = sharded_minimizer_locate_fn(mesh, shm, K_slow=512)(reads)
+        np.testing.assert_array_equal(np.asarray(um), uid1)
+        np.testing.assert_array_equal(np.asarray(om), off1)
 
 
 def test_sharded_minimizer_million_nodes():
