@@ -71,6 +71,49 @@ def compact_mask(mask, K: int):
     return out, n
 
 
+def n_chunks(L: int, k: int, C: int) -> int:
+    """Chunks of length C with k-1 overlap covering a length-L read."""
+    S = C - k + 1
+    return -(-(L - (k - 1)) // S)
+
+
+def chunk_reads(codes, k: int, C: int):
+    """(B, L) codes -> (B * n_ch, C) overlapping chunks, stride C-k+1,
+    positions past L padded with 255 (invalid).
+
+    The chain state at any MATURE position is a function of the last k
+    characters only (each close contracts to the (k-1)-suffix), so a
+    chunk seeded k-1 characters early reproduces the full-read chain at
+    every payload position; chunk-local immaturity lands entirely in the
+    discarded overlap. Trusted chunk values are self-certifying: a
+    mature close IS the k-mer's interval computed from the empty string,
+    and a mature failure IS an empty k-mer interval, regardless of what
+    the full-read chain tracked there. Chunking therefore shortens the
+    sequential scan ~L/C times at the cost of (C/(C-k+1))x gather
+    elements -- a win whenever the scan is latency- not
+    throughput-bound (measured: it is, see bench_micro)."""
+    B, L = codes.shape
+    if not (k <= C <= L):
+        raise ValueError(f"need k <= chunk <= L (k={k}, chunk={C}, L={L})")
+    S = C - k + 1
+    idx = jnp.arange(n_chunks(L, k, C), dtype=jnp.int32)[:, None] * S + jnp.arange(
+        C, dtype=jnp.int32
+    )[None, :]
+    ch = jnp.take(codes, jnp.minimum(idx, L - 1), axis=1)  # (B, n_ch, C)
+    ch = jnp.where(idx[None, :, :] < L, ch, jnp.uint8(255).astype(codes.dtype))
+    return ch.reshape(B * idx.shape[0], C)
+
+
+def unchunk_grid(grid_ch, B: int, L: int, k: int, C: int):
+    """(B * n_ch, C) per-position grid -> (B, L): chunk 0 contributes
+    its first k-1 positions, every chunk its payload [k-1, C)."""
+    S = C - k + 1
+    g = grid_ch.reshape(B, -1, C)
+    head = g[:, 0, : k - 1]
+    payload = g[:, :, k - 1 :].reshape(B, -1)
+    return jnp.concatenate([head, payload], axis=1)[:, :L]
+
+
 def make_chain_scan(n8: int, k: int, n_nodes: int):
     """Phase A. run(tab, C, contract_k, codes): (B, L) codes -> (B, L)
     per-position status: rank >= 0 found, -1 definitively absent, -2
@@ -159,21 +202,30 @@ def make_window_verifier(n8: int, k: int, n_nodes: int):
     return run
 
 
-def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int):
+def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int, chunk: int | None = None):
     """Fully device-resident two-phase pipeline (single dispatch).
 
     Returns run(tab, C, contract_k, codes) -> ((B, W) ranks, n_unknown).
     K bounds the number of UNKNOWN windows verified on-device; if
     n_unknown > K the caller MUST re-run with a larger K (unverified
     windows must never be reported). n_unknown also lets callers
-    right-size K for steady-state workloads."""
+    right-size K for steady-state workloads. chunk (None = whole read)
+    splits each read into k-1-overlapped chunks scanned as extra lanes
+    (see chunk_reads); exactness is unaffected, UNKNOWN count can only
+    grow (chunk-local failures), and every UNKNOWN is re-verified."""
     chain = make_chain_scan(n8, k, n_nodes)
     verify = make_window_verifier(n8, k, n_nodes)
 
     def run(tab, C, contract_k, codes):
         B, L = codes.shape
         W = L - k + 1
-        status = chain(tab, C, contract_k, codes)[:, k - 1 :]  # (B, W)
+        if chunk is not None and k <= chunk < L:
+            status = unchunk_grid(
+                chain(tab, C, contract_k, chunk_reads(codes, k, chunk)),
+                B, L, k, chunk,
+            )[:, k - 1 :]
+        else:
+            status = chain(tab, C, contract_k, codes)[:, k - 1 :]  # (B, W)
         mask = (status == UNKNOWN).reshape(-1)
         flat_idx, n_unknown = compact_mask(mask, K)
         valid = flat_idx >= 0

@@ -115,7 +115,7 @@ class DeviceQueryEngine:
 
     def __init__(
         self, index: FinimizerIndex, mode: str = "dense", mesh=None,
-        mindex_cache: str | None = None,
+        mindex_cache: str | None = None, chunk: int | None = None,
     ):
         """mesh: optional (dp, tp) ints. With dp*tp > 1 (minimizer mode
         only) the locate runs as the shard_map'd multi-chip pipeline of
@@ -128,8 +128,12 @@ class DeviceQueryEngine:
         mindex_cache: optional path; the minimizer engine's derived
         MinimizerIndex is loaded from it when present and serialized to
         it after a build (the host-side derivation is minutes at
-        genome scale)."""
+        genome scale).
+
+        chunk: scan-chunk length for the stream/replica chain scans
+        (ops.streaming.chunk_reads); None = auto (~2k), 0 disables."""
         self.index = index
+        self.chunk = chunk
         self._mindex_cache = mindex_cache
         self.k = index.sbwt.get_k()
         self.mode = mode
@@ -179,8 +183,10 @@ class DeviceQueryEngine:
             k = self.k
             stream_cache = {}
 
+            eff_chunk = self.chunk if self.chunk is not None else max(2 * k, 48)
+
             def make_stream(K):
-                ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K)
+                ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
 
                 def f(tab, C, ck, uid_table, off_table, codes):
                     ranks, n_unknown = ranks_fn(tab, C, ck, codes)
@@ -319,7 +325,7 @@ class DeviceQueryEngine:
                 K = max(1024, (B * (L - k + 1)) // 16)
                 while True:
                     if K not in rep_cache:
-                        rep_cache[K] = make_replica_locate_v2(index, K)
+                        rep_cache[K] = make_replica_locate_v2(index, K, chunk=self.chunk)
                     uid, off, n_seg = rep_cache[K](codes)
                     if int(n_seg) <= K:
                         return uid, off
@@ -365,7 +371,7 @@ class DeviceQueryEngine:
             from finito_tpu.query.replica import make_replica_locate_v2
 
             K = max(1024, int(batch * W * unknown_frac))
-            jitted = make_replica_locate_v2(self.index, K)
+            jitted = make_replica_locate_v2(self.index, K, chunk=self.chunk)
             pipe = lambda codes: jitted(codes)  # noqa: E731
             pipe.K = K
             return pipe
@@ -388,7 +394,8 @@ class DeviceQueryEngine:
             from finito_tpu.ops.streaming import make_chain_stream_ranks
 
             K = max(1024, int(batch * W * unknown_frac))
-            ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K)
+            eff_chunk = self.chunk if self.chunk is not None else max(2 * k, 48)
+            ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
 
             def _pipe(tab, C, ck, ut, ot, codes):
                 ranks, n_unknown = ranks_fn(tab, C, ck, codes)

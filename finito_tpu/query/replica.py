@@ -90,7 +90,7 @@ def build_su_ustart_table(LCS: np.ndarray, Ustart: np.ndarray) -> np.ndarray:
     return su | (np.asarray(Ustart, np.uint16) << np.uint16(8))
 
 
-def make_replica_locate_v2(index, K_seg: int = 4096):
+def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     """Two-phase exact replica: optimistic chain + segment repair.
 
     The round-1 replica ran the reference's drop-recovery `while_loop`
@@ -109,6 +109,14 @@ def make_replica_locate_v2(index, K_seg: int = 4096):
     valid only when n_seg <= K_seg (caller resizes). Exactness is pinned
     by differential tests vs make_replica_locate (the in-scan reference
     twin) and the host oracle.
+
+    chunk (None = auto, 0/>=L = off) splits each read into
+    k-1-overlapped chunks scanned as extra lanes (ops.streaming
+    chunk_reads): the sequential phase-A scan is latency-bound at
+    read-length trip count, so trading (chunk/(chunk-k+1))x gather
+    elements for an L/chunk-times shorter scan wins; trusted chunk
+    values are self-certifying and untrusted ones hit the same exact
+    repair, so output is unchanged (differentially tested).
     """
     k = index.sbwt.get_k()
     n_nodes = index.sbwt.number_of_subsets()
@@ -272,10 +280,21 @@ def make_replica_locate_v2(index, K_seg: int = 4096):
 
     # ---- full locate ----------------------------------------------------
     def run(P, codes):
+        from finito_tpu.ops.streaming import chunk_reads, unchunk_grid
+
         (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends) = P
         B, L = codes.shape
         W = L - k + 1
-        emit, cand, untrusted = chain_opt(tab, C, ck, codes)
+        cc_len = chunk
+        if cc_len is None:  # auto: ~2k-long chunks once reads are longer
+            cc_len = max(2 * k, 48)
+        if k <= cc_len < L:
+            emit, cand, untrusted = (
+                unchunk_grid(g, B, L, k, cc_len)
+                for g in chain_opt(tab, C, ck, chunk_reads(codes, k, cc_len))
+            )
+        else:
+            emit, cand, untrusted = chain_opt(tab, C, ck, codes)
         emit, cand, n_seg = repair(P, codes, emit, cand, untrusted)
 
         ranks = emit[:, k - 1 :]  # (B, W)

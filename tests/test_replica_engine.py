@@ -106,3 +106,94 @@ def test_replica_v2_matches_v1_and_oracle():
         got = [(int(np.asarray(u2)[b, w]), int(np.asarray(o2)[b, w]))
                for w in range(L - k + 1)]
         assert got == res.local_offsets, b
+
+
+@pytest.mark.parametrize("chunk", [6, 8, 11, 40])
+def test_replica_v2_chunked_matches_v1(chunk):
+    """Chunked phase A (k-1-overlapped chunks as extra lanes) must be
+    bit-equal to the in-scan twin for every chunk length, including the
+    minimal payload (chunk == k) and chunk == L (no-op)."""
+    from finito_tpu.io.seqdb import encode_seq
+    from finito_tpu.query.replica import make_replica_locate, make_replica_locate_v2
+
+    rng = np.random.default_rng(52)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 12, 60, k)
+    index = build_index(unitigs, k)
+    B, L = 16, 40
+    reads = np.full((B, L), 255, np.uint8)
+    for b in range(B):
+        u = encode_seq(unitigs[int(rng.integers(len(unitigs)))].encode())
+        n = min(u.size, L)
+        reads[b, :n] = u[:n]
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, n))
+            reads[b, p] = (reads[b, p] + int(rng.integers(1, 4))) % 4
+        if b % 4 == 0:  # invalid chars straddling chunk seams
+            reads[b, int(rng.integers(0, L))] = 255
+    v1 = make_replica_locate(index)
+    v2 = make_replica_locate_v2(index, K_seg=B * L, chunk=chunk)
+    u1, o1 = v1(reads)
+    u2, o2, n_seg = v2(reads)
+    assert int(n_seg) <= B * L
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+@pytest.mark.parametrize("chunk", [6, 9, 39])
+def test_stream_chunked_matches_unchunked(chunk):
+    """Chunked chain scan + verification equals the unchunked stream
+    pipeline (and both equal definitive statuses on every window)."""
+    import jax.numpy as jnp
+
+    from finito_tpu.io.seqdb import encode_seq
+    from finito_tpu.ops.rank24 import build_rank24_tables, build_contract_k_table
+    from finito_tpu.ops.streaming import make_chain_stream_ranks
+
+    rng = np.random.default_rng(53)
+    k = 6
+    unitigs = gen_dspss(rng, 12, 12, 60, k)
+    index = build_index(unitigs, k)
+    tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
+    n8 = tab.shape[0] // 4
+    C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
+    ck = jnp.asarray(build_contract_k_table(index.LCS, k))
+    B, L = 16, 40
+    reads = np.full((B, L), 255, np.uint8)
+    for b in range(B):
+        u = encode_seq(unitigs[int(rng.integers(len(unitigs)))].encode())
+        n = min(u.size, L)
+        reads[b, :n] = u[:n]
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, n))
+            reads[b, p] = (reads[b, p] + int(rng.integers(1, 4))) % 4
+    K = B * (L - k + 1)
+    base = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K)
+    ch = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K, chunk=chunk)
+    r0, n0 = base(tab, C, ck, jnp.asarray(reads))
+    r1, n1 = ch(tab, C, ck, jnp.asarray(reads))
+    assert int(n0) <= K and int(n1) <= K
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+@pytest.mark.parametrize("mode", ["stream", "replica"])
+def test_engine_long_reads_trigger_auto_chunk(mode):
+    """Reads longer than the auto chunk (~max(2k, 48)) exercise the
+    chunked chain inside DeviceQueryEngine; oracle is the arbiter."""
+    rng = np.random.default_rng(54)
+    k = 10
+    unitigs = gen_dspss(rng, 10, 70, 120, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode=mode)
+    reads = []
+    for _ in range(6):
+        u = unitigs[int(rng.integers(len(unitigs)))]
+        s = list(u)
+        for _m in range(int(rng.integers(0, 4))):
+            s[int(rng.integers(0, len(s)))] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s).encode())
+    reads.append(("".join(rng.choice(list("ACGT"), 130))).encode())
+    out = engine.process_reads(reads)
+    for read, (f, _r) in zip(reads, out):
+        want = index.search(read)
+        assert f.local_offsets == want.local_offsets, read
