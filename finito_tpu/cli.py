@@ -320,9 +320,9 @@ def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None)
 
         fmt = "(%d,%d)".__mod__
 
-        def emit_batch(reads_chunk):
+        def emit_batch(handle):
             nonlocal total_positive, kmers_count, kmers_count_rev, number_of_queries
-            line_lens, u, p, kf, kr = engine.merged_pairs_flat(reads_chunk)
+            line_lens, u, p, kf, kr = engine.merged_pairs_flat_end(handle)
             total_positive += int(np.count_nonzero(u != -1))
             kmers_count += kf
             kmers_count_rev += kr
@@ -346,18 +346,31 @@ def _run_queries_streaming(reader, out, index, stats_filename: str, engine=None)
                 )
                 pos += n
 
+        # Double-buffered serving loop: dispatch chunk n+1 (async device
+        # work) BEFORE reading back / formatting chunk n, so the device
+        # computes under the host's formatting + output writes and the
+        # tunnel readback of one chunk overlaps the compute of the next.
         pending: List[bytes] = []
+        in_flight = None
         for _h, read in reader:
             pending.append(bytes(read))
             if len(pending) >= CHUNK:
                 t0 = cur_time_micros()
-                emit_batch(pending)
+                handle = engine.merged_pairs_flat_begin(pending)
+                if in_flight is not None:
+                    emit_batch(in_flight)
+                in_flight = handle
                 total_micros += cur_time_micros() - t0
                 pending = []
+        t0 = cur_time_micros()
         if pending:
-            t0 = cur_time_micros()
-            emit_batch(pending)
-            total_micros += cur_time_micros() - t0
+            handle = engine.merged_pairs_flat_begin(pending)
+            if in_flight is not None:
+                emit_batch(in_flight)
+            in_flight = handle
+        if in_flight is not None:
+            emit_batch(in_flight)
+        total_micros += cur_time_micros() - t0
     else:
         for _h, read in reader:
             t0 = cur_time_micros()

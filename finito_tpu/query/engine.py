@@ -412,14 +412,12 @@ class DeviceQueryEngine:
             return pipe
         raise ValueError(f"no device pipeline for mode {self.mode}")
 
-    def locate_batch(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """codes: (B, L) uint8 (pad with 255), L >= k. Returns (B, W) unitig
-        ids and offsets, -1 where the k-mer is absent/invalid.
-
-        Shapes are bucketed (L to a multiple of 128, B to a power of two)
-        so arbitrary read sets hit a handful of compiled programs instead
-        of one XLA compile per shape.
-        """
+    def locate_batch_async(self, codes: np.ndarray):
+        """locate_batch without the device->host readback: returns
+        (uid_dev, off_dev, B, W) where the device arrays are padded and
+        the (B, W) slice applies at readback. Lets callers chain further
+        device work (the run-merge serving path) or overlap readback
+        with the next chunk's dispatch."""
         B, L = codes.shape
         L_pad = max(128, -(-L // 128) * 128)
         B_pad = 1 << max(0, (B - 1).bit_length())
@@ -428,8 +426,103 @@ class DeviceQueryEngine:
             padded[:B, :L] = codes
             codes = padded
         uid, off = self._locate(jnp.asarray(codes))
-        W = L - self.k + 1
+        return uid, off, B, L - self.k + 1
+
+    def locate_batch(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """codes: (B, L) uint8 (pad with 255), L >= k. Returns (B, W) unitig
+        ids and offsets, -1 where the k-mer is absent/invalid.
+
+        Shapes are bucketed (L to a multiple of 128, B to a power of two)
+        so arbitrary read sets hit a handful of compiled programs instead
+        of one XLA compile per shape.
+        """
+        uid, off, B, W = self.locate_batch_async(codes)
         return np.asarray(uid)[:B, :W], np.asarray(off)[:B, :W]
+
+    # ------------- device fwd/RC merge + run-length readback -------------
+
+    def _merge_rle_fn(self, B2: int, Wp: int, K: int):
+        """Jitted device kernel: strand-interleaved (B2, Wp) locate
+        results -> reference-merged (u, p) per window, run-length
+        encoded ON DEVICE so the host readback is O(runs) instead of
+        O(windows). Over the tunneled TPU the device->host readback
+        dominates end-to-end `search-fmin` (README); DSPSS-style reads
+        compress to a handful of affine runs per read.
+
+        A run is a maximal window stretch with one unitig id and offsets
+        in arithmetic progression with step +1 (forward hits), -1 (the
+        RC-filled stretches count DOWN because the merge mirrors the RC
+        window index) or 0 (absent (-1,-1) stretches); encoded as
+        (u0, p0, p_last, len). The merge rule is the reference's output
+        rule (search_fmin.hh:62-71): take the forward hit, else the RC
+        hit of the mirrored window n-1-w."""
+        cache = getattr(self, "_merge_rle_cache", None)
+        if cache is None:
+            cache = self._merge_rle_cache = {}
+        fn = cache.get((B2, Wp, K))
+        if fn is not None:
+            return fn
+
+        @jax.jit
+        def merge_rle(uid, off, lens):
+            # uid, off: (B2, Wp) int32, rows 2j/2j+1 = read j fwd/RC;
+            # lens: (B2//2,) int32 window counts (0 for padding rows)
+            uf, of = uid[0::2], off[0::2]
+            ur, orr = uid[1::2], off[1::2]
+            w = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+            n = lens[:, None]
+            valid = w < n
+            ridx = jnp.clip(n - 1 - w, 0, Wp - 1)
+            ur_al = jnp.take_along_axis(ur, ridx, axis=1)
+            orr_al = jnp.take_along_axis(orr, ridx, axis=1)
+            take_rc = uf < 0
+            neg = jnp.int32(-1)
+            u = jnp.where(valid & take_rc, ur_al, jnp.where(valid, uf, neg))
+            p = jnp.where(valid & take_rc, orr_al, jnp.where(valid, of, neg))
+            kf = jnp.sum(valid & (uf >= 0))
+            kr = jnp.sum(valid & (ur >= 0))
+            # -- run heads: a window continues the previous run iff same
+            # unitig and the offset step is the run's step (+-1; the
+            # first step after a head is free), or both are absent
+            prev_u = jnp.pad(u[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+            prev_p = jnp.pad(p[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+            d = p - prev_p
+            step_ok = (u == prev_u) & (u >= 0) & ((d == 1) | (d == -1))
+            prev_step_ok = jnp.pad(
+                step_ok[:, :-1], ((0, 0), (1, 0)), constant_values=False
+            )
+            prev_d = jnp.pad(d[:, :-1], ((0, 0), (1, 0)), constant_values=0)
+            cont = (step_ok & ((~prev_step_ok) | (d == prev_d))) | (
+                (u == prev_u) & (u < 0)
+            )
+            head = valid & ((w == 0) | ~cont)
+            # -- compact the runs into K-capacity buffers (overflow runs
+            # land in the sacrificial slot K; caller falls back)
+            flat_head = head.reshape(-1)
+            flat_valid = valid.reshape(-1)
+            flat_u = u.reshape(-1)
+            flat_p = p.reshape(-1)
+            rid = jnp.cumsum(flat_head.astype(jnp.int32)) - 1
+            n_runs = rid[-1] + 1
+            tgt_h = jnp.where(flat_head & (rid < K), rid, K)
+            u0 = jnp.zeros(K + 1, jnp.int32).at[tgt_h].set(flat_u)
+            p0 = jnp.zeros(K + 1, jnp.int32).at[tgt_h].set(flat_p)
+            tgt_v = jnp.where(flat_valid & (rid >= 0) & (rid < K), rid, K)
+            rl = jnp.zeros(K + 1, jnp.int32).at[tgt_v].add(1)
+            nxt_head = jnp.concatenate(
+                [flat_head[1:], jnp.ones(1, dtype=flat_head.dtype)]
+            )
+            nxt_valid = jnp.concatenate(
+                [flat_valid[1:], jnp.zeros(1, dtype=flat_valid.dtype)]
+            )
+            last = flat_valid & (nxt_head | ~nxt_valid)
+            tgt_l = jnp.where(last & (rid >= 0) & (rid < K), rid, K)
+            p1 = jnp.zeros(K + 1, jnp.int32).at[tgt_l].set(flat_p)
+            stats = jnp.stack([n_runs, kf, kr])
+            return u0[:K], p0[:K], p1[:K], rl[:K], stats
+
+        cache[(B2, Wp, K)] = merge_rle
+        return merge_rle
 
     # ---------------- per-read CLI-parity API ----------------
 
@@ -440,12 +533,15 @@ class DeviceQueryEngine:
         lines = self.process_reads([read])
         return lines[0]
 
-    def _batch_both_strands(self, reads: Sequence[bytes]):
-        """Shared batching: encode, filter short/invalid reads, pad, and
-        stack forward + reverse-complement strands in ONE (2B, L) device
-        batch (rows B..2B-1 are the RC strand). Returns
-        (batch_idx, batch_codes, uid_b, off_b) with uid_b/off_b None when
-        every read was filtered."""
+    def _encode_both_strands(self, reads: Sequence[bytes]):
+        """Encode, filter short/invalid reads, pad, and stack forward +
+        reverse-complement strands in ONE (2B, L) host batch, strand-
+        interleaved (row 2j = read j forward, row 2j+1 = its RC). The
+        interleave makes the fwd/RC pairing a STATIC stride-2 slice on
+        device, independent of the dynamic read count, so the device
+        merge kernel compiles once per padded shape. Returns (batch_idx,
+        batch_codes, both) with both None when every read was
+        filtered."""
         from finito_tpu.io.seqdb import encode_seq
 
         k = self.k
@@ -457,13 +553,22 @@ class DeviceQueryEngine:
                 batch_idx.append(i)
                 batch_codes.append(codes)
         if not batch_idx:
-            return batch_idx, batch_codes, None, None
+            return batch_idx, batch_codes, None
         L = max(c.size for c in batch_codes)
         B = len(batch_codes)
         both = np.full((2 * B, L), 255, dtype=np.uint8)
         for j, c in enumerate(batch_codes):
-            both[j, : c.size] = c
-            both[B + j, : c.size] = (3 - c)[::-1]
+            both[2 * j, : c.size] = c
+            both[2 * j + 1, : c.size] = (3 - c)[::-1]
+        return batch_idx, batch_codes, both
+
+    def _batch_both_strands(self, reads: Sequence[bytes]):
+        """_encode_both_strands + locate: returns (batch_idx,
+        batch_codes, uid_b, off_b) with uid_b/off_b None when every read
+        was filtered."""
+        batch_idx, batch_codes, both = self._encode_both_strands(reads)
+        if both is None:
+            return batch_idx, batch_codes, None, None
         uid_b, off_b = self.locate_batch(both)
         return batch_idx, batch_codes, uid_b, off_b
 
@@ -477,11 +582,10 @@ class DeviceQueryEngine:
         out = [None] * len(reads)
         batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
         if uid_b is not None:
-            B = len(batch_codes)
             for j, i in enumerate(batch_idx):
                 n = batch_codes[j].size - k + 1
-                uf, of = uid_b[j, :n], off_b[j, :n]
-                ur, orr = uid_b[B + j, :n], off_b[B + j, :n]
+                uf, of = uid_b[2 * j, :n], off_b[2 * j, :n]
+                ur, orr = uid_b[2 * j + 1, :n], off_b[2 * j + 1, :n]
                 out[i] = (
                     uf, of, ur, orr,
                     int(np.count_nonzero(uf >= 0)),
@@ -494,38 +598,85 @@ class DeviceQueryEngine:
         (line_lens, u_flat, p_flat, kmers_fwd, kmers_rc) where
         line_lens[i] is the pair count of read i (0 for short/invalid
         reads, which emit an empty line) and the flat int32 streams hold
-        the merged (u, p) pairs in read order -- two fancy-indexes per
-        strand instead of a Python loop per read (the CLI's end-to-end
-        throughput is set by this path plus the native line formatter)."""
+        the merged (u, p) pairs in read order.
+
+        Fast path: the merge and a run-length encoding run ON DEVICE
+        (`_merge_rle_fn`), so only O(runs) crosses the tunnel; the flat
+        streams are re-expanded host-side with np.repeat. Falls back to
+        a full-window readback + host merge when the input doesn't
+        compress (n_runs > capacity)."""
+        return self.merged_pairs_flat_end(self.merged_pairs_flat_begin(reads))
+
+    def merged_pairs_flat_begin(self, reads: Sequence[bytes]):
+        """Dispatch half of merged_pairs_flat: encode + locate + device
+        merge/RLE, all async -- no host blocking beyond the jit
+        dispatches. Returns an opaque handle for merged_pairs_flat_end.
+        The split lets the CLI double-buffer chunks (dispatch chunk n+1
+        before reading back chunk n) so device compute runs under the
+        host's line formatting and file writes."""
         k = self.k
         line_lens = np.zeros(len(reads), np.int64)
-        batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
-        if uid_b is None:
-            z = np.zeros(0, np.int32)
-            return line_lens, z, z, 0, 0
-        uid_b = np.asarray(uid_b)
-        off_b = np.asarray(off_b)
-        B = len(batch_codes)
+        batch_idx, batch_codes, both = self._encode_both_strands(reads)
+        if both is None:
+            return (line_lens, None)
         lens = np.array([c.size - k + 1 for c in batch_codes], dtype=np.int64)
         line_lens[np.asarray(batch_idx, dtype=np.int64)] = lens
+        uid_d, off_d, _, _ = self.locate_batch_async(both)
+        B2, Wp = int(uid_d.shape[0]), int(uid_d.shape[1])
+        lens_pad = np.zeros(B2 // 2, np.int32)
+        lens_pad[: len(batch_codes)] = lens
+        K = int(min((B2 // 2) * Wp, max(4096, 16 * (B2 // 2))))
+        out = self._merge_rle_fn(B2, Wp, K)(uid_d, off_d, jnp.asarray(lens_pad))
+        return (line_lens, (batch_codes, lens, uid_d, off_d, K, out))
+
+    def merged_pairs_flat_end(self, handle):
+        """Readback half of merged_pairs_flat_begin: O(runs) transfer +
+        host re-expansion (or the full-window fallback on overflow)."""
+        line_lens, rest = handle
+        if rest is None:
+            z = np.zeros(0, np.int32)
+            return line_lens, z, z, 0, 0
+        batch_codes, lens, uid_d, off_d, K, (u0d, p0d, p1d, rld, stats) = rest
+        n_runs, kf, kr = (int(x) for x in np.asarray(stats))
+        if n_runs > K:
+            return self._merged_pairs_host(
+                line_lens, batch_codes, lens, np.asarray(uid_d), np.asarray(off_d)
+            )
+        R = n_runs
+        u0 = np.asarray(u0d[:R])
+        p0 = np.asarray(p0d[:R])
+        p1 = np.asarray(p1d[:R])
+        rl = np.asarray(rld[:R]).astype(np.int64)
+        total = int(rl.sum())
+        starts = np.cumsum(rl) - rl
+        u = np.repeat(u0, rl)
+        step = np.sign(p1 - p0)
+        off_in = np.arange(total, dtype=np.int64) - np.repeat(starts, rl)
+        p = np.repeat(p0.astype(np.int64), rl) + np.repeat(step, rl) * off_in
+        return line_lens, u.astype(np.int32), p.astype(np.int32), kf, kr
+
+    def _merged_pairs_host(self, line_lens, batch_codes, lens, uid_b, off_b):
+        """Full-window host merge (the pre-RLE path); also the fallback
+        arbiter the RLE path is differentially tested against."""
+        B = len(batch_codes)
         total = int(lens.sum())
         j_of = np.repeat(np.arange(B), lens)
         w_of = np.arange(total, dtype=np.int64) - np.repeat(
             np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
         )
-        uf = uid_b[j_of, w_of]
-        of_ = off_b[j_of, w_of]
+        uf = uid_b[2 * j_of, w_of]
+        of_ = off_b[2 * j_of, w_of]
         w_rc = lens[j_of] - 1 - w_of
-        ur = uid_b[B + j_of, w_rc]
-        orr = off_b[B + j_of, w_rc]
+        ur = uid_b[2 * j_of + 1, w_rc]
+        orr = off_b[2 * j_of + 1, w_rc]
         absent = uf == -1
         u = np.where(absent, ur, uf).astype(np.int32)
         p = np.where(absent, orr, of_).astype(np.int32)
-        return (
-            line_lens, u, p,
-            int(np.count_nonzero(uf >= 0)),
-            int(np.count_nonzero(ur >= 0)),
-        )
+        # ur gathered at the mirrored windows is a permutation of the RC
+        # row's valid windows, so counting it counts the RC strand
+        kf = int(np.count_nonzero(uf >= 0))
+        kr = int(np.count_nonzero(ur >= 0))
+        return line_lens, u, p, kf, kr
 
     def process_reads(self, reads: Sequence[bytes]) -> List[Tuple[QueryResult, QueryResult]]:
         k = self.k
@@ -535,16 +686,15 @@ class DeviceQueryEngine:
         ]
         batch_idx, batch_codes, uid_b, off_b = self._batch_both_strands(reads)
         if uid_b is not None:
-            B = len(batch_codes)
             for j, i in enumerate(batch_idx):
                 n = batch_codes[j].size - k + 1
                 f = QueryResult(
-                    [(int(uid_b[j, w]), int(off_b[j, w])) for w in range(n)],
-                    int(np.count_nonzero(uid_b[j, :n] >= 0)),
+                    [(int(uid_b[2 * j, w]), int(off_b[2 * j, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_b[2 * j, :n] >= 0)),
                 )
                 r = QueryResult(
-                    [(int(uid_b[B + j, w]), int(off_b[B + j, w])) for w in range(n)],
-                    int(np.count_nonzero(uid_b[B + j, :n] >= 0)),
+                    [(int(uid_b[2 * j + 1, w]), int(off_b[2 * j + 1, w])) for w in range(n)],
+                    int(np.count_nonzero(uid_b[2 * j + 1, :n] >= 0)),
                 )
                 results[i] = (f, r)
         return results

@@ -162,3 +162,87 @@ def test_dense_engine_random_dspss(mode):
         orr = index.search(reverse_complement(q))
         assert r.local_offsets == orr.local_offsets
         assert (f.n_found, r.n_found) == (of.n_found, orr.n_found)
+
+
+# ---------------- device merge + run-length readback ----------------
+
+
+def _expected_merged_lines(index, reads):
+    """Reference merge rule (search_fmin.hh:62-71) via the host oracle."""
+    k = index.sbwt.get_k()
+    lines = []
+    kf = kr = 0
+    for read in reads:
+        res = index.search(read)
+        rres = index.search(reverse_complement(read))
+        kf += res.n_found
+        kr += rres.n_found
+        pairs = []
+        for i, (u, p) in enumerate(res.local_offsets):
+            if u == -1:
+                u, p = rres.local_offsets[len(read) - k - i]
+            pairs.append((u, p))
+        lines.append(pairs)
+    return lines, kf, kr
+
+
+@pytest.mark.parametrize("mode", ["minimizer", "dense"])
+def test_merged_pairs_flat_rle_vs_oracle(mode):
+    """merged_pairs_flat's device RLE path vs the host oracle merge AND
+    vs the full-window host fallback, on run-adversarial reads: exact
+    substrings (long +1 runs), RC substrings (descending -1 runs via the
+    mirror), mutated reads (run breaks), random reads (absent/present
+    alternation), short and non-ACGT reads (empty lines)."""
+    rng = np.random.default_rng(17)
+    k = 6
+    unitigs = gen_dspss(rng, 20, 10, 60, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode=mode)
+    genome = "".join(unitigs)
+    reads = []
+    for _ in range(8):
+        s = int(rng.integers(0, len(genome) - 30))
+        reads.append(genome[s : s + 30].encode())
+    reads += [reverse_complement(r) for r in reads[:4]]
+    for r in reads[:4]:
+        b = bytearray(r)
+        j = len(b) // 2
+        b[j] = b"ACGT"[(b"ACGT".index(b[j : j + 1]) + 1) % 4]
+        reads.append(bytes(b))
+    for _ in range(8):
+        L = int(rng.integers(k, 40))
+        reads.append("".join(rng.choice(list("ACGT"), L)).encode())
+    reads += [b"ACG", b"ACGNNACGTACG", b""]
+
+    line_lens, u, p, kf, kr = engine.merged_pairs_flat(reads)
+    exp_lines, ekf, ekr = _expected_merged_lines(index, reads)
+    exp_lens = [
+        (len(r) - k + 1 if len(r) >= k and b"N" not in r.upper() else 0)
+        for r in reads
+    ]
+    # non-ACGT / short reads emit empty lines
+    exp_pairs = []
+    for r, pl in zip(reads, exp_lines):
+        if len(r) >= k and all(c in b"ACGT" for c in r):
+            exp_pairs.extend(pl)
+    assert line_lens.tolist() == [
+        len(pl) if len(r) >= k and all(c in b"ACGT" for c in r) else 0
+        for r, pl in zip(reads, exp_lines)
+    ]
+    got_pairs = list(zip(u.tolist(), p.tolist()))
+    assert got_pairs == exp_pairs
+    assert (kf, kr) == (ekf, ekr)
+
+    # the overflow fallback (full-window host merge) -> identical streams
+    batch_idx, batch_codes, both = engine._encode_both_strands(reads)
+    uid_d, off_d, _, _ = engine.locate_batch_async(both)
+    lens = np.array([c.size - k + 1 for c in batch_codes], dtype=np.int64)
+    ll2 = np.zeros(len(reads), np.int64)
+    ll2[np.asarray(batch_idx, dtype=np.int64)] = lens
+    line_lens2, u2, p2, kf2, kr2 = engine._merged_pairs_host(
+        ll2, batch_codes, lens, np.asarray(uid_d), np.asarray(off_d)
+    )
+    np.testing.assert_array_equal(line_lens, line_lens2)
+    np.testing.assert_array_equal(u, u2)
+    np.testing.assert_array_equal(p, p2)
+    assert (kf, kr) == (kf2, kr2)
