@@ -29,6 +29,40 @@ from finito_tpu.sbwt.sbwt import PlainMatrixSBWT
 from finito_tpu.utils.bits import bit_width_for_max
 
 
+def prefix_candidates(sbwt, su, starts, ends, concat):
+    """Shortest-unique candidates at local offsets < k-1: a batched
+    per-unitig prefix scan (O(n_unitigs * k) interval updates -- the
+    small control-plane part of construction, next to the O(text)
+    window candidates). Returns (global end positions, lens, colex
+    ranks). Shared by the host fast path and the mesh build."""
+    k = sbwt.get_k()
+    n_nodes = sbwt.number_of_subsets()
+    n_u = ends.size
+    lo = np.zeros(n_u, dtype=np.int64)
+    hi = np.full(n_u, n_nodes - 1, dtype=np.int64)
+    lens = ends - starts
+    out_p, out_l, out_c = [], [], []
+    for j in range(min(k - 1, int(lens.max()) if n_u else 0)):
+        active = lens > j
+        c = np.where(active, concat[np.minimum(starts + j, concat.size - 1)], 255)
+        lo, hi = sbwt.update_interval_batch(c, lo, hi)
+        if np.any(active & (lo < 0)):
+            raise AssertionError("build: prefix extension failed (input not indexed?)")
+        single = active & (lo == hi)
+        s_ok = single & (su[np.where(single, lo, 0)] <= j + 1)
+        out_p.append(starts[s_ok] + j)
+        out_l.append(su[lo[s_ok]])
+        out_c.append(lo[s_ok])
+    if not out_p:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(out_p),
+        np.concatenate(out_l),
+        np.concatenate(out_c),
+    )
+
+
 def drop_first_char(new_len: int, I: Tuple[int, int], LCS: np.ndarray, n_nodes: int) -> Tuple[int, int]:
     """Left-contraction: widen interval to all nodes sharing a suffix of
     length new_len, guided by the LCS array
@@ -199,21 +233,9 @@ class FinimizerIndexBuilder:
             cand_colex[j_end] = ranks
 
         # positions with local offset < k-1: batched per-unitig prefix scan
-        n_u = ends.size
-        lo = np.zeros(n_u, dtype=np.int64)
-        hi = np.full(n_u, n_nodes - 1, dtype=np.int64)
-        lens = ends - starts
-        for j in range(min(k - 1, int(lens.max()) if n_u else 0)):
-            active = lens > j
-            c = np.where(active, concat[np.minimum(starts + j, concat.size - 1)], 255)
-            lo, hi = sbwt.update_interval_batch(c, lo, hi)
-            if np.any(active & (lo < 0)):
-                raise AssertionError("build: prefix extension failed (input not indexed?)")
-            single = active & (lo == hi)
-            s_ok = single & (su[np.where(single, lo, 0)] <= j + 1)
-            p = starts[s_ok] + j
-            cand_len[p] = su[lo[s_ok]]
-            cand_colex[p] = lo[s_ok]
+        pc_pos, pc_len, pc_colex = prefix_candidates(sbwt, su, starts, ends, concat)
+        cand_len[pc_pos] = pc_len
+        cand_colex[pc_pos] = pc_colex
 
         # --- per-window (len, colex, end)-minimum over valid candidates;
         # the tuple packs into one int64 (len | colex | r) so the k-step

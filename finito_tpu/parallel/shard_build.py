@@ -384,3 +384,342 @@ def sharded_sbwt_build(
         node_keys = kj.to_host(np.concatenate(segs, axis=0))
         return sbwt, node_keys
     return sbwt
+
+
+def _route_by_owner(own, payloads, S, M):
+    """Route int32 payload rows to the shard named by `own` (entries == S
+    are dropped), as one padded all_to_all per payload. Returns
+    (received payloads each (S*M,), overflow count). Received fill is -1
+    for payload 0 (the validity channel) and 0 elsewhere."""
+    n = own.shape[0]
+    order = jnp.argsort(own, stable=True)
+    own_s = jnp.take(own, order)
+    start = jnp.searchsorted(own_s, jnp.arange(S, dtype=own_s.dtype))
+    off = jnp.arange(n, dtype=jnp.int32) - jnp.take(start, jnp.minimum(own_s, S - 1))
+    ok = (own_s < S) & (off < M)
+    overflow = jnp.sum(((own_s < S) & (off >= M)).astype(jnp.int32))
+    slot = jnp.where(ok, own_s * M + off, S * M)
+    out = []
+    for i, p in enumerate(payloads):
+        ps = jnp.take(p, order)
+        fill = -1 if i == 0 else 0
+        send = jnp.full(S * M + 1, fill, jnp.int32).at[slot].set(ps)[: S * M]
+        out.append(lax.all_to_all(send, "D", 0, 0, tiled=True))
+    return out, overflow
+
+
+def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 1.3):
+    """Mesh finimizer selection: the O(text) stages of FinimizerIndexBuilder
+    run sharded over the device mesh (the mesh twin of the host
+    `_build_fast`, finito_tpu/index/builder.py; the algorithm itself is
+    the three exact reductions documented there of the reference's
+    streaming scan, /root/reference/include/FinimizerIndex.hh:321-389).
+
+    Layout: the NODE axis is sharded in S contiguous colex blocks (the
+    sharded-SBWT output order), the TEXT axis in S contiguous position
+    blocks. Stages:
+
+      * window colex ranks: every text shard routes its packed window
+        keys to the node shard owning them (one all_to_all; capacities
+        are EXACT -- in a DSPSS each real node is hit by exactly one
+        window), the owner matches them into its sorted node block and
+        answers (colex, SU[colex]) back along the inverse all_to_all.
+      * candidate realignment start->end positions: one k-1-element halo
+        ppermute from the left neighbor; host-computed prefix candidates
+        (the O(n_unitigs * k) control plane, `prefix_candidates`) are
+        merged in.
+      * per-window (len, colex, r) minimum: a k-step masked minimum
+        chain over (hi, lo) uint32 key pairs, with a k-1 right halo
+        ppermute (windows never straddle more than one seam).
+      * the cross-unitig overwrite rule: (colex, local_end, order,
+        global_end) rows route to the owning node shard (ownership is a
+        division -- uniform blocks), where the scatter-max key
+        (local_end << 33 | ~order, or order when local_end == 0) is
+        resolved by one multiword sort + last-of-run pick, exactly the
+        host scatter-max outcome.
+
+    Returns (fmin_bv, global_offsets, stats) as full-length host arrays
+    + a FinimizerStatsSet, all equal to the host builder's.
+    """
+    from finito_tpu.index.builder import FinimizerStatsSet, prefix_candidates
+
+    mesh = _flat_mesh(mesh)
+    S = mesh.devices.size
+    k = sbwt.get_k()
+    n_nodes = sbwt.number_of_subsets()
+    Pp = kj.n_planes(k)
+    concat = np.asarray(packed.concat, dtype=np.uint8)
+    ends = np.asarray(packed.ends, dtype=np.int64)
+    starts = np.concatenate([[0], ends[:-1]])
+    N = concat.size
+    n_u = ends.size
+
+    if n_nodes >= (1 << 31) or N + S >= (1 << 31):
+        raise ValueError("sharded_finimizer_select: int32 plane encoding "
+                         "requires < 2^31 nodes and text positions")
+    if k > 255:
+        raise ValueError("k > 255 exceeds the packed window-min encoding")
+    if node_keys[0].size != n_nodes:
+        raise ValueError("node_keys must cover every SBWT node (colex-sorted)")
+
+    LCS = np.asarray(LCS, dtype=np.int64)
+    su = (np.maximum(LCS, np.concatenate([LCS[1:], [0]])) + 1).astype(np.int32)
+
+    # ---- node sharding: S uniform colex blocks (ownership = division)
+    Mn = -(-n_nodes // S)
+    nodes_pl = kj.from_host(node_keys)
+    nodes_sh = np.full((S, Mn, Pp), 0xFFFFFFFF, np.uint32)
+    su_sh = np.zeros((S, Mn), np.int32)
+    real_counts = np.zeros(S, np.int64)
+    realmask = (node_keys[0] & np.uint64(7)) != 0  # no $ at label start
+    for s in range(S):
+        a, b = s * Mn, min((s + 1) * Mn, n_nodes)
+        nodes_sh[s, : b - a] = nodes_pl[a:b]
+        su_sh[s, : b - a] = su[a:b]
+        real_counts[s] = int(realmask[a:b].sum())
+    bidx = (np.arange(1, S) * Mn).clip(0, n_nodes - 1)
+    spl = np.where(
+        (np.arange(1, S) * Mn < n_nodes)[:, None],
+        nodes_pl[bidx],
+        np.uint32(0xFFFFFFFF),
+    ).astype(np.uint32)
+    M1 = max(1, int(real_counts.max()))  # exact: one window per real node
+
+    # ---- text sharding: S contiguous position blocks, B >= k
+    B = max(-(-N // S), k)
+    n_pos = N - k + 1
+    if n_pos <= 0:
+        raise ValueError("no k-mer windows in input")
+    # validity of window starts
+    pos = np.arange(n_pos, dtype=np.int64)
+    uid_all = np.searchsorted(ends, pos, side="right")
+    valid_all = pos + k <= ends[uid_all]
+    wkeys = kj.from_host(kw.pack_windows(concat, k))  # (n_pos, P)
+    wk_sh = np.full((S, B, Pp), 0xFFFFFFFF, np.uint32)
+    val_sh = np.zeros((S, B), np.bool_)
+    for s in range(S):
+        a = s * B
+        b = min(a + B, n_pos)
+        if a < n_pos:
+            seg = wkeys[a:b]
+            v = valid_all[a:b]
+            wk_sh[s, : b - a][v] = seg[v]
+            val_sh[s, : b - a] = v
+    base_ord = np.zeros(S, np.int32)
+    base_ord[1:] = np.cumsum(val_sh.sum(axis=1))[:-1].astype(np.int32)
+
+    # host control plane: prefix candidates, scattered to end-position owners
+    pc_pos, pc_len, pc_colex = prefix_candidates(sbwt, su, starts, ends, concat)
+    pcl_sh = np.full((S, B), k + 2, np.int32)
+    pcc_sh = np.zeros((S, B), np.int32)
+    sh_of = pc_pos // B
+    pcl_sh[sh_of, pc_pos - sh_of * B] = pc_len.astype(np.int32)
+    pcc_sh[sh_of, pc_pos - sh_of * B] = pc_colex.astype(np.int32)
+
+    ends32 = ends.astype(np.int32)
+    starts32 = starts.astype(np.int32)
+    rep = P(*([None] * 2))
+    BIGHI = jnp.uint32((k + 2) << 16)
+
+    # ---- phase A: ranks + realignment + window-min (one shard_map)
+    def _phaseA(wk_in, pcl_in, pcc_in, val_in, nodes_in, su_in, spl_, base_, e32, s32):
+        wk, pcl, pcc, valid = wk_in[0], pcl_in[0], pcc_in[0], val_in[0]
+        nodes_l, su_l = nodes_in[0], su_in[0]
+        sid = lax.axis_index("D")
+        recv, _, ovf, orderx, slot, ok = _exchange(wk, spl_, S, M1)
+        idx = kj.match_rows(recv, nodes_l, jnp.arange(Mn, dtype=jnp.int32))
+        colex_a = jnp.where(idx >= 0, sid * Mn + idx, -1)
+        su_a = jnp.where(idx >= 0, jnp.take(su_l, jnp.maximum(idx, 0)), -1)
+        colex_b = _answers_back(colex_a, orderx, slot, ok, B, S, M1)
+        su_b = _answers_back(su_a, orderx, slot, ok, B, S, M1)
+        miss = jnp.sum((valid & (colex_b < 0)).astype(jnp.int32))
+        # per-START candidate -> per-END candidate: shift right k-1 across shards
+        wlen = jnp.where(valid, su_b, k + 2).astype(jnp.int32)
+        wcol = jnp.where(valid, colex_b, 0).astype(jnp.int32)
+        right = [(i, i + 1) for i in range(S - 1)]
+        halo_l = lax.ppermute(wlen[B - (k - 1):], "D", right) if k > 1 else wlen[:0]
+        halo_c = lax.ppermute(wcol[B - (k - 1):], "D", right) if k > 1 else wcol[:0]
+        halo_l = jnp.where(sid == 0, k + 2, halo_l)
+        halo_c = jnp.where(sid == 0, 0, halo_c)
+        e_len = jnp.concatenate([halo_l, wlen[: B - (k - 1)]]) if k > 1 else wlen
+        e_col = jnp.concatenate([halo_c, wcol[: B - (k - 1)]]) if k > 1 else wcol
+        has_pc = pcl <= k + 1
+        e_len = jnp.where(has_pc, pcl, e_len)
+        e_col = jnp.where(has_pc, pcc, e_col)
+        e_hi = (e_len.astype(jnp.uint32) << 16) | (e_col >> 15).astype(jnp.uint32)
+        e_lo = ((e_col & 0x7FFF) << 8).astype(jnp.uint32)
+        # right halo for the window minimum (ends t1 .. t1+k-2)
+        left = [(i + 1, i) for i in range(S - 1)]
+        rh_hi = lax.ppermute(e_hi[: k - 1], "D", left) if k > 1 else e_hi[:0]
+        rh_lo = lax.ppermute(e_lo[: k - 1], "D", left) if k > 1 else e_lo[:0]
+        rh_hi = jnp.where(sid == S - 1, BIGHI, rh_hi)
+        rh_lo = jnp.where(sid == S - 1, jnp.uint32(0), rh_lo)
+        ext_hi = jnp.concatenate([e_hi, rh_hi])
+        ext_lo = jnp.concatenate([e_lo, rh_lo])
+
+        def body(r, st):
+            fh, fl = st
+            ch = lax.dynamic_slice_in_dim(ext_hi, r, B)
+            cl = lax.dynamic_slice_in_dim(ext_lo, r, B) | r.astype(jnp.uint32)
+            bad = (ch >> 16) > (r + 1).astype(jnp.uint32)
+            ch = jnp.where(bad, BIGHI, ch)
+            cl = jnp.where(bad, jnp.uint32(0), cl)
+            take = (ch < fh) | ((ch == fh) & (cl < fl))
+            return jnp.where(take, ch, fh), jnp.where(take, cl, fl)
+
+        fin_hi, fin_lo = lax.fori_loop(
+            0, k, body, (jnp.full(B, BIGHI), jnp.zeros(B, jnp.uint32))
+        )
+        none_cnt = jnp.sum((valid & (fin_hi >= BIGHI)).astype(jnp.int32))
+        fin_col = (((fin_hi & 0xFFFF) << 15) | (fin_lo >> 8)).astype(jnp.int32)
+        fin_r = (fin_lo & 0xFF).astype(jnp.int32)
+        ws_g = sid * B + jnp.arange(B, dtype=jnp.int32)
+        uid = jnp.searchsorted(e32, ws_g, side="right")
+        st_u = jnp.take(s32, jnp.minimum(uid, n_u - 1))
+        local_end = ws_g - st_u + fin_r
+        g_end = ws_g + fin_r
+        order_g = jnp.take(base_, sid) + jnp.cumsum(valid.astype(jnp.int32)) - 1
+        return (
+            fin_col[None], local_end[None], order_g[None], g_end[None],
+            valid[None], miss[None], ovf[None], none_cnt[None],
+        )
+
+    outs = jax.jit(
+        shard_map(
+            _phaseA, mesh=mesh,
+            in_specs=(P("D", None, None), P("D", None), P("D", None), P("D", None),
+                      P("D", None, None), P("D", None), rep, P(None), P(None), P(None)),
+            out_specs=(P("D", None),) * 5 + (P("D"),) * 3,
+            check_vma=False,
+        )
+    )(
+        _put(mesh, wk_sh, P("D", None, None)),
+        _put(mesh, pcl_sh, P("D", None)),
+        _put(mesh, pcc_sh, P("D", None)),
+        _put(mesh, val_sh, P("D", None)),
+        _put(mesh, nodes_sh, P("D", None, None)),
+        _put(mesh, su_sh, P("D", None)),
+        _put(mesh, spl, rep),
+        _put(mesh, base_ord, P(None)),
+        _put(mesh, ends32, P(None)),
+        _put(mesh, starts32, P(None)),
+    )
+    fin_col, local_end, order_g, g_end, valid_d, miss, ovfA, none_cnt = outs
+    if int(np.asarray(miss).sum()) != 0:
+        raise AssertionError("sharded finimizer build: window k-mer missing "
+                             "from the node set (input not a DSPSS?)")
+    assert int(np.asarray(ovfA).sum()) == 0  # capacities are exact
+    if int(np.asarray(none_cnt).sum()) != 0:
+        raise AssertionError("sharded finimizer build: window without a "
+                             "candidate (impossible for a valid t=1 DSPSS)")
+    if int(np.asarray(local_end).max(initial=0)) >= (1 << 30):
+        raise ValueError("unitig longer than 2^30: scatter key overflow")
+
+    # ---- phase B: route rows to node owners, resolve the overwrite rule
+    n_valid = int(val_sh.sum())
+    M2 = max(1, int(np.ceil(slack * n_valid / S)))
+    while True:
+        def _phaseB(col_in, le_in, od_in, ge_in, val_in):
+            col, le, od, ge = col_in[0], le_in[0], od_in[0], ge_in[0]
+            valid = val_in[0]
+            sid = lax.axis_index("D")
+            own = jnp.where(valid, col // Mn, S)
+            (col_r, le_r, od_r, ge_r), ovf = _route_by_owner(
+                own, (col, le, od, ge), S, M2
+            )
+            got = col_r >= 0
+            coll = jnp.where(got, col_r - sid * Mn, 0)
+            # scatter-max key (local_end << 33 | (2^33-1 - order), or order
+            # when local_end == 0), split into uint32 (hi, lo) planes:
+            # order < 2^31 makes bit 32 of (2^33-1 - order) always 1.
+            key_hi = jnp.where(
+                le_r > 0, ((le_r << 1) | 1).astype(jnp.uint32), jnp.uint32(0)
+            )
+            key_lo = jnp.where(
+                le_r > 0,
+                jnp.uint32(0xFFFFFFFF) - od_r.astype(jnp.uint32),
+                od_r.astype(jnp.uint32),
+            )
+            planes = jnp.stack(
+                [key_lo, key_hi,
+                 jnp.where(got, coll.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))],
+                axis=1,
+            )
+            order2 = kj.argsort_rows(planes)
+            s_col = jnp.take(coll, order2)
+            s_ge = jnp.take(ge_r, order2)
+            s_got = jnp.take(got, order2)
+            nxt_col = jnp.concatenate([s_col[1:], jnp.full(1, -1, jnp.int32)])
+            nxt_got = jnp.concatenate([s_got[1:], jnp.zeros(1, bool)])
+            winner = s_got & ((s_col != nxt_col) | (~nxt_got))
+            fmin_loc = jnp.zeros(Mn, jnp.uint8).at[
+                jnp.where(s_got, s_col, Mn)
+            ].set(1, mode="drop")
+            glob_loc = jnp.zeros(Mn, jnp.int32).at[
+                jnp.where(winner, s_col, Mn)
+            ].set(s_ge, mode="drop")
+            return fmin_loc[None], glob_loc[None], ovf[None]
+
+        fmin_sh, glob_sh, ovfB = jax.jit(
+            shard_map(_phaseB, mesh=mesh,
+                      in_specs=(P("D", None),) * 5,
+                      out_specs=(P("D", None), P("D", None), P("D")),
+                      check_vma=False)
+        )(fin_col, local_end, order_g, g_end, valid_d)
+        if int(np.asarray(ovfB).sum()) == 0:
+            break
+        M2 *= 2
+
+    fmin_bv = np.asarray(fmin_sh).reshape(-1)[:n_nodes].astype(np.uint8)
+    global_offsets = (
+        np.asarray(glob_sh).reshape(-1)[:n_nodes].astype(np.int64).clip(0)
+        .astype(np.uint64)
+    )
+    marked = np.flatnonzero(fmin_bv).astype(np.int64)
+    stats_packed = np.sort((su[marked].astype(np.int64) << 41) | (marked << 1))
+    return fmin_bv, global_offsets, FinimizerStatsSet(stats_packed, n_nodes)
+
+
+def sharded_index_build(seqs, k: int, mesh=None, n_devices: Optional[int] = None):
+    """End-to-end mesh-sharded finimizer index construction: sharded
+    sample-sort SBWT (sharded_sbwt_build) -> node-sharded LCS rounds
+    (parallel.mesh.sharded_lcs_fn) -> mesh finimizer selection
+    (sharded_finimizer_select). Every O(text)/O(nodes) stage runs on the
+    device mesh; the host keeps only the O(n_unitigs * k) control plane
+    (unitig permutation + prefix candidates). Output equals
+    FinimizerIndexBuilder's index (tests/test_shard_build.py)."""
+    from finito_tpu.index.index import FinimizerIndex
+    from finito_tpu.index.packed_strings import permute_unitigs
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.parallel.mesh import sharded_lcs_fn
+    from finito_tpu.utils.bits import bit_width_for_max
+
+    mesh = _flat_mesh(mesh if mesh is not None else (n_devices or len(jax.devices())))
+    if not isinstance(seqs, SeqDB):
+        seqs_b = [s if isinstance(s, bytes) else s.encode() for s in seqs]
+        unitigs = SeqDB.from_sequences(seqs_b)
+    else:
+        unitigs = seqs
+    sbwt, node_keys = sharded_sbwt_build(
+        [unitigs.get_codes(i) for i in range(len(unitigs))], k, mesh=mesh,
+        return_keys=True,
+    )
+    LCS = sharded_lcs_fn(mesh, sbwt)
+    packed, ustart, _perm = permute_unitigs(sbwt, unitigs)
+    fmin_bv, global_offsets, stats = sharded_finimizer_select(
+        sbwt, LCS, packed, node_keys, mesh
+    )
+    index = FinimizerIndex()
+    index.sbwt = sbwt
+    index.LCS = np.asarray(LCS, dtype=np.int64)
+    index.lcs_width = bit_width_for_max(k - 1)
+    index.unitigs = packed
+    index.fmin = fmin_bv
+    index.global_offsets = global_offsets[fmin_bv == 1].astype(np.uint64)
+    index.offsets_width = bit_width_for_max(
+        int(global_offsets.max()) if fmin_bv.size else 0
+    )
+    index.Ustart = ustart
+    index.rebuild_rank_supports()
+    index.finimizer_stats = stats
+    return index

@@ -147,3 +147,107 @@ def test_sharded_sbwt_build_forced_overflow_retry():
     # slack tiny enough that phases C-E overflow and must retry-double
     got = sharded_sbwt_build(seqs, 11, n_devices=8, slack=0.02)
     _assert_sbwt_equal(got, want)
+
+
+# ---------------- mesh finimizer selection / full index build ----------------
+
+
+def _host_index(spss, k):
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    sbwt = build_host_sbwt(spss, k)
+    return FinimizerIndexBuilder(
+        sbwt, lcs_array(sbwt), SeqDB.from_sequences(spss)
+    ).get_index()
+
+
+def build_host_sbwt(spss, k):
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+
+    return build_plain_matrix_sbwt(spss, k)
+
+
+def _assert_index_equal(got, want):
+    _assert_sbwt_equal(got.sbwt, want.sbwt)
+    np.testing.assert_array_equal(got.LCS, want.LCS)
+    np.testing.assert_array_equal(got.fmin, want.fmin)
+    np.testing.assert_array_equal(got.global_offsets, want.global_offsets)
+    np.testing.assert_array_equal(got.Ustart, want.Ustart)
+    np.testing.assert_array_equal(
+        np.asarray(got.unitigs.concat), np.asarray(want.unitigs.concat)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.unitigs.ends), np.asarray(want.unitigs.ends)
+    )
+    assert got.offsets_width == want.offsets_width
+
+
+@pytest.mark.parametrize("k,n_unitigs", [(4, 6), (11, 25), (31, 12)])
+def test_sharded_index_build_matches_host(k, n_unitigs):
+    from tests.test_device_engine import gen_dspss
+    from finito_tpu.parallel.shard_build import sharded_index_build
+
+    rng = np.random.default_rng(100 + k)
+    spss = [s.encode() for s in gen_dspss(rng, n_unitigs, k, k + 40, k)]
+    want = _host_index(spss, k)
+    got = sharded_index_build(spss, k, n_devices=8)
+    _assert_index_equal(got, want)
+    # stats parity with the host fast path's packed set
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    sb = build_host_sbwt(spss, k)
+    host_b = FinimizerIndexBuilder(sb, lcs_array(sb), SeqDB.from_sequences(spss))
+    assert got.finimizer_stats == host_b.finimizer_stats
+    # query parity on reads straddling unitig seams
+    reads = []
+    for _ in range(20):
+        u = spss[int(rng.integers(0, len(spss)))]
+        a = int(rng.integers(0, max(1, len(u) - k)))
+        reads.append(u[a : a + k + 10])
+    reads.append(b"A" * (k + 3))
+    for r in reads:
+        rw = want.search(r)
+        rg = got.search(r)
+        assert rw.local_offsets == rg.local_offsets
+        assert rw.n_found == rg.n_found
+
+
+def test_sharded_index_build_paper_example():
+    from finito_tpu.parallel.shard_build import sharded_index_build
+
+    spss = [b"GTAAGTCT", b"AGGAAA", b"ACAGG", b"GTAGG", b"AGGTA"]
+    want = _host_index(spss, 4)
+    got = sharded_index_build(spss, 4, n_devices=8)
+    _assert_index_equal(got, want)
+
+
+def test_sharded_finimizer_select_forced_reroute_overflow():
+    # slack tiny enough that phase B (the overwrite-rule routing)
+    # overflows and must retry-double
+    from tests.test_device_engine import gen_dspss
+    from finito_tpu.index.packed_strings import permute_unitigs
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.parallel.shard_build import (
+        sharded_finimizer_select,
+        sharded_sbwt_build,
+    )
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    rng = np.random.default_rng(77)
+    k = 9
+    spss = [s.encode() for s in gen_dspss(rng, 12, k, k + 30, k)]
+    sbwt, node_keys = sharded_sbwt_build(spss, k, n_devices=8, return_keys=True)
+    LCS = lcs_array(sbwt)
+    packed, _ustart, _ = permute_unitigs(sbwt, SeqDB.from_sequences(spss))
+    fmin, glob, _stats = sharded_finimizer_select(
+        sbwt, LCS, packed, node_keys, 8, slack=0.01
+    )
+    want = _host_index(spss, k)
+    np.testing.assert_array_equal(fmin, want.fmin)
+    np.testing.assert_array_equal(
+        glob[fmin == 1].astype(np.uint64), want.global_offsets
+    )
