@@ -81,6 +81,48 @@ def sbwt_build(argv: List[str]) -> int:
     return 0
 
 
+# ------------------------------------------------------------------ unitigs
+
+
+def unitigs_cmd(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="finito unitigs",
+        description="Build canonical unitigs (a DSPSS) from raw FASTA/FASTQ "
+        "-- the construction step the reference delegates to the external "
+        "`ggcat build --min-multiplicity 1` (reference README 'Additional "
+        "info'); here native, so the whole reads -> index pipeline needs "
+        "no third-party tool.",
+    )
+    p.add_argument("-i", "--in-file", required=True,
+                   help="Input FASTA/FASTQ (possibly gzipped); non-ACGT "
+                   "characters split sequences")
+    p.add_argument("-o", "--out-file", required=True, help="Output unitig FASTA")
+    p.add_argument("-k", type=int, required=True, help="k-mer length (odd)")
+    p.add_argument("--forward-only", action="store_true",
+                   help="directed dBG over the exact k-mers seen "
+                   "(default: canonical / bidirected, like ggcat)")
+    args = p.parse_args(argv)
+
+    from finito_tpu.dbg import unitigs_from_fasta
+    from finito_tpu.io.fastx import SequenceWriter
+    from finito_tpu.io.seqdb import decode_seq
+
+    check_readable(args.in_file)
+    check_writable(args.out_file)
+    write_log(f"Building unitigs k={args.k} from {args.in_file}", LogLevel.MAJOR)
+    unis = unitigs_from_fasta(args.in_file, args.k, canonical=not args.forward_only)
+    with SequenceWriter(args.out_file, fasta=True) as w:
+        for i, u in enumerate(unis):
+            w.write_record(str(i).encode(), decode_seq(u))
+    n_kmers = sum(max(0, u.size - args.k + 1) for u in unis)
+    write_log(
+        f"Wrote {args.out_file}: {len(unis)} unitigs, {n_kmers} distinct "
+        f"{'canonical ' if not args.forward_only else ''}k-mers",
+        LogLevel.MAJOR,
+    )
+    return 0
+
+
 # -------------------------------------------------------------- convert-sbwt
 
 
@@ -518,6 +560,7 @@ COMMANDS = {
     "build-fmin": build_fmin,
     "search-fmin": search_fmin,
     "sbwt-build": sbwt_build,
+    "unitigs": unitigs_cmd,
     "convert-sbwt": convert_sbwt,
     "kmer-mapper": _kmer_mapper,
 }

@@ -1,0 +1,355 @@
+"""Compacted de Bruijn graph construction: sequences -> unitigs (DSPSS).
+
+The reference framework requires a DSPSS as input and points users at
+the external `ggcat` tool to produce canonical unitigs from raw FASTA
+(/root/reference/README.md:79-84); it contains no construction code of
+its own. This module closes that gap natively: it builds the maximal
+non-branching paths (unitigs) of the (bidirected) de Bruijn graph over
+the distinct (canonical) k-mers of the input, so the full
+reads -> index pipeline runs inside finito_tpu with no external
+dependency.
+
+Everything is vectorized over the packed multiword k-mer keys of
+sbwt.keys (3 bits/char, colex = numeric compare) with the native radix
+sort / merge-join underneath:
+
+  * node set        = radix sort + dedup of all (canonical) window keys;
+  * graph degrees   = per-char successor candidates built by word
+                      arithmetic (drop-first == >>3, RC incrementally
+                      from the parent's RC), resolved with one
+                      merge-join per char per orientation;
+  * unitig chains   = the standard maximal-path rule (out-degree 1 into
+                      in-degree 1, never re-entering the same node),
+                      decomposed by pointer doubling (O(log n) rounds of
+                      gathers) -- no sequential walk;
+  * mirror/cycle dedup = every chain's reverse-complement traversal is
+                      also a maximal chain; exactly one of each pair is
+                      emitted (head id vs mirrored tail id; cycles are
+                      broken at their minimum oriented node and emitted
+                      iff that minimum beats the mirror cycle's).
+
+Canonical mode (the default, matching `ggcat build --min-multiplicity 1
+-k <k>`) requires odd k so no k-mer equals its own reverse complement.
+Forward mode (`canonical=False`) builds the ordinary directed dBG of
+the exact k-mers seen.
+
+Output is a DSPSS: each input (canonical) k-mer occurs in exactly one
+unitig exactly once; tested against a brute-force oracle and round-trip
+through the SBWT/finimizer pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from finito_tpu.sbwt import keys as kw
+
+U64 = np.uint64
+
+
+def _cmp_words(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
+    """Elementwise colex compare of equal-length key lists: int8 sign."""
+    cmp = np.zeros(A[0].shape, dtype=np.int8)
+    for a, b in zip(A, B):  # LSW -> MSW: later (more significant) wins
+        c = (a > b).astype(np.int8) - (a < b).astype(np.int8)
+        np.copyto(cmp, c, where=c != 0)
+    return cmp
+
+
+def _select_keys(flag: np.ndarray, A: List[np.ndarray], B: List[np.ndarray]):
+    """Elementwise flag ? A : B over key lists."""
+    return [np.where(flag, a, b) for a, b in zip(A, B)]
+
+
+def _rc_keys(keys: List[np.ndarray], k: int) -> List[np.ndarray]:
+    """Reverse complement of packed keys: char c at position p (values
+    1..4) becomes 5-c at position k-1-p. k passes of word arithmetic."""
+    n = keys[0].size
+    W = len(keys)
+    out = [np.zeros(n, dtype=U64) for _ in range(W)]
+    five = U64(5)
+    for p in range(k):
+        bit = 3 * p
+        q, r = bit >> 6, bit & 63
+        c = keys[q] >> U64(r)
+        if r > 61 and q + 1 < W:
+            c = c | (keys[q + 1] << U64(64 - r))
+        c = c & U64(7)
+        comp = five - c
+        tb = 3 * (k - 1 - p)
+        tq, tr = tb >> 6, tb & 63
+        out[tq] |= comp << U64(tr)
+        if tr > 61 and tq + 1 < W:
+            out[tq + 1] |= comp >> U64(64 - tr)
+    return out
+
+
+def _set_top_char(keys: List[np.ndarray], k: int, c: int) -> List[np.ndarray]:
+    """keys | (c << 3(k-1)) -- caller guarantees the slot is zero."""
+    bit = 3 * (k - 1)
+    q, r = bit >> 6, bit & 63
+    out = [w.copy() for w in keys]
+    cv = U64(c)
+    out[q] = out[q] | (cv << U64(r))
+    if r > 61 and q + 1 < len(keys):
+        out[q + 1] = out[q + 1] | (cv >> U64(64 - r))
+    return out
+
+
+def _unpack_char(keys: List[np.ndarray], p: int) -> np.ndarray:
+    """Char value (1..4) at position p of each key."""
+    bit = 3 * p
+    q, r = bit >> 6, bit & 63
+    v = keys[q] >> U64(r)
+    if r > 61 and q + 1 < len(keys):
+        v = v | (keys[q + 1] << U64(64 - r))
+    return (v & U64(7)).astype(np.int64)
+
+
+def _collect_nodes(seqs: Sequence[np.ndarray], k: int, canonical: bool):
+    """Sorted unique (canonical) window keys of all sequences."""
+    parts: List[List[np.ndarray]] = []
+    for codes in seqs:
+        codes = np.asarray(codes, dtype=np.uint8)
+        # split at invalid characters (codes > 3): windows must not span
+        for seg in _split_valid(codes):
+            if seg.size < k:
+                continue
+            fwd = kw.pack_windows(seg, k)
+            if canonical:
+                rc = kw.pack_windows((3 - seg)[::-1], k)
+                rc = [w[::-1] for w in rc]  # align: rc[i] == RC(fwd[i])
+                canon = _select_keys(_cmp_words(fwd, rc) <= 0, fwd, rc)
+            else:
+                canon = fwd
+            parts.append(canon)
+    if not parts:
+        return kw.empty(kw.n_words(k))
+    allk = kw.concat(parts)
+    del parts
+    return kw.dedup_sorted(kw.sort_keys(allk))
+
+
+def _split_valid(codes: np.ndarray) -> List[np.ndarray]:
+    bad = np.flatnonzero(codes > 3)
+    if bad.size == 0:
+        return [codes]
+    segs = []
+    prev = 0
+    for b in bad:
+        if b > prev:
+            segs.append(codes[prev:b])
+        prev = b + 1
+    if prev < codes.size:
+        segs.append(codes[prev:])
+    return segs
+
+
+def _chain_decompose(
+    nxt: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Functional-graph chain decomposition by pointer doubling.
+
+    nxt[x] in [-1, m): the unique successor link (the target's indeg is
+    1 by construction, so chains never merge). Returns
+    (head, pos, was_cycle, mirror_min):
+      * head[x], pos[x]: the chain head of x and its 0-based position --
+        cycles are first broken at their minimum element, which becomes
+        that chain's head;
+      * was_cycle[x]: True iff x was on a cycle;
+      * mirror_min[x]: for cycle elements, min over the cycle of (y ^ 1)
+        (== the mirror cycle's minimum, used for mirror-pair dedup);
+        undefined elsewhere.
+    """
+    m = nxt.size
+    ids = np.arange(m, dtype=np.int64)
+    prev = np.full(m, -1, dtype=np.int64)
+    tgt = nxt >= 0
+    prev[nxt[tgt]] = ids[tgt]
+
+    # --- find cycles + their minima by doubling on prev -----------------
+    # After ceil(log2(m))+1 rounds the chased window covers >= m hops:
+    # chain elements' chase dies at a prev==-1 element; cycle elements
+    # keep a live ancestor and their window min converges to the cycle
+    # minimum (same for the mirrored ids).
+    anc = prev.copy()
+    mn = np.where(prev >= 0, np.minimum(ids, prev), ids)
+    mno = np.where(prev >= 0, np.minimum(ids ^ 1, prev ^ 1), ids ^ 1)
+    rounds = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
+    for _ in range(rounds):
+        live = anc >= 0
+        if not np.any(live):
+            break
+        a = anc[live]
+        mn[live] = np.minimum(mn[live], mn[a])
+        mno[live] = np.minimum(mno[live], mno[a])
+        anc[live] = anc[a]
+    was_cycle = anc >= 0
+    if np.any(was_cycle):
+        brk = was_cycle & (ids == mn)  # one per cycle: its minimum
+        prev[brk] = -1
+
+    # --- head/pos by doubling on prev (now cycle-free) -------------------
+    # Invariant: anc[x] is 'pos[x] - d-ish' hops back... concretely
+    # (anc, d): anc is some ancestor d hops back, or -1 when x is a
+    # head. Jump only while the ancestor itself has an ancestor, so the
+    # final anc IS the head and d the distance.
+    anc = prev.copy()
+    d = (prev >= 0).astype(np.int64)
+    for _ in range(rounds):
+        live = np.flatnonzero(anc >= 0)
+        if live.size == 0:
+            break
+        a = anc[live]
+        hop = anc[a] >= 0
+        if not np.any(hop):
+            break
+        idx = live[hop]
+        aa = a[hop]
+        d[idx] += d[aa]
+        anc[idx] = anc[aa]
+    head = np.where(anc >= 0, anc, ids)
+    pos = np.where(anc >= 0, d, 0)
+    return head, pos, was_cycle, mno
+
+
+def build_unitigs(
+    seqs: Sequence[np.ndarray], k: int, canonical: bool = True
+) -> List[np.ndarray]:
+    """Sequences (uint8 code arrays, 0..3 = ACGT, >3 splits) -> unitig
+    code arrays (uint8 0..3), a DSPSS of the input's (canonical) k-mer
+    set. See module docstring for the graph rules."""
+    if not (2 <= k <= 250):
+        raise ValueError("need 2 <= k <= 250")
+    if canonical and k % 2 == 0:
+        raise ValueError("canonical mode requires odd k (no self-RC k-mers)")
+
+    nodes = _collect_nodes(seqs, k, canonical)
+    n = nodes[0].size
+    if n == 0:
+        return []
+    nodes_rc = _rc_keys(nodes, k) if canonical else None
+
+    # ---- oriented successor resolution ---------------------------------
+    # oriented id = 2*node + o (o=0 fwd, o=1 rc); forward mode uses o=0
+    # only but keeps the same id layout for shared code below.
+    n_ori = 2 * n
+    outdeg = np.zeros(n_ori, dtype=np.int8)
+    succ = np.full(n_ori, -1, dtype=np.int64)
+    indeg = np.zeros(n_ori, dtype=np.int8)
+
+    orients = (0, 1) if canonical else (0,)
+    for o in orients:
+        X = nodes if o == 0 else nodes_rc
+        X_rc = nodes_rc if o == 0 else nodes
+        base = kw.shift_right3(X)
+        if canonical:
+            base_rc = kw.shift_left(kw.mask_low(X_rc, k - 1), 1)
+        for c in range(1, 5):
+            y = _set_top_char(base, k, c)
+            if canonical:
+                y_rc = [w.copy() for w in base_rc]
+                y_rc[0] = y_rc[0] | U64(5 - c)
+                is_f = _cmp_words(y, y_rc) <= 0
+                y_canon = _select_keys(is_f, y, y_rc)
+            else:
+                is_f = np.ones(n, dtype=bool)
+                y_canon = y
+            idx = kw.match_into(y_canon, nodes)
+            hit = idx >= 0
+            # successor oriented id
+            so = 2 * idx + np.where(is_f, 0, 1)
+            src = 2 * np.arange(n, dtype=np.int64) + o
+            outdeg[src[hit]] += 1
+            # last-writer is fine: succ is only used where outdeg == 1
+            succ[src[hit]] = so[hit]
+            np.add.at(indeg, so[hit], 1)
+
+    # ---- links: maximal-path rule --------------------------------------
+    # link x->y iff outdeg(x)==1, indeg(y)==1, and y is not (either
+    # orientation of) x's node (no self loops / hairpins).
+    has_succ = outdeg == 1
+    y_ok = np.zeros(n_ori, dtype=bool)
+    sv = succ[has_succ]
+    y_ok[has_succ] = (indeg[sv] == 1) & ((sv >> 1) != (np.flatnonzero(has_succ) >> 1))
+    link = np.where(has_succ & y_ok, succ, -1)
+    if not canonical:
+        # forward mode: odd oriented ids are unused; ensure isolated
+        link[1::2] = -1
+
+    head, pos, was_cycle, mirror_min = _chain_decompose(link)
+
+    # ---- one emission per mirror pair ----------------------------------
+    from finito_tpu import native
+
+    sort_key = head.astype(np.uint64) * U64(max(n_ori, 1)) + pos.astype(np.uint64)
+    order = native.argsort_u64(sort_key)
+    if order is None:
+        order = np.argsort(sort_key, kind="stable")
+    h_sorted = head[order]
+    new_chain = np.ones(h_sorted.size, dtype=bool)
+    if h_sorted.size:
+        new_chain[1:] = h_sorted[1:] != h_sorted[:-1]
+    chain_starts = np.flatnonzero(new_chain)
+    chain_lens = np.diff(np.append(chain_starts, h_sorted.size))
+    chain_head = h_sorted[chain_starts]
+    chain_tail = order[chain_starts + chain_lens - 1]
+
+    if canonical:
+        # linear chains: the mirror chain's head is (tail ^ 1); broken
+        # cycles: the mirror cycle's head is ITS minimum (mirror_min) --
+        # tail^1 would be an arbitrary rotation point of the mirror.
+        cyc = was_cycle[chain_head]
+        emit = np.where(
+            cyc,
+            chain_head <= mirror_min[chain_head],
+            chain_head <= (chain_tail ^ 1),
+        )
+    else:
+        emit = (chain_head & 1) == 0  # only even (fwd) ids are real
+
+    # ---- decode emitted chains to code arrays --------------------------
+    node_of = order >> 1
+    ori_of = (order & 1).astype(bool)
+    top_f = kw.top_char(nodes, k)
+    top_r = kw.top_char(nodes_rc, k) if canonical else top_f
+    last_char = (
+        np.where(ori_of, top_r[node_of], top_f[node_of]).astype(np.uint8) - 1
+    )
+    emit_idx = np.flatnonzero(emit)
+    firsts = order[chain_starts[emit_idx]]
+    fnode = firsts >> 1
+    fori = (firsts & 1).astype(bool)
+    # head k-mers of all emitted chains, unpacked in k vector passes
+    if canonical:
+        headkeys = _select_keys(
+            ~fori, [w[fnode] for w in nodes], [w[fnode] for w in nodes_rc]
+        )
+    else:
+        headkeys = [w[fnode] for w in nodes]
+    head_mat = np.empty((emit_idx.size, k), dtype=np.uint8)
+    for p in range(k):
+        head_mat[:, p] = _unpack_char(headkeys, p) - 1
+    out: List[np.ndarray] = []
+    for i, ci in enumerate(emit_idx):
+        s, ln = chain_starts[ci], chain_lens[ci]
+        if ln > 1:
+            out.append(np.concatenate([head_mat[i], last_char[s + 1 : s + ln]]))
+        else:
+            out.append(head_mat[i].copy())
+    return out
+
+
+def unitigs_from_fasta(path: str, k: int, canonical: bool = True) -> List[np.ndarray]:
+    """Convenience: FASTA/FASTQ (± gzip) -> unitig code arrays.
+    Non-ACGT characters split sequences (no k-mer spans them)."""
+    from finito_tpu.io.fastx import SequenceReader
+    from finito_tpu.io.seqdb import encode_seq
+
+    seqs = []
+    with SequenceReader(path) as r:
+        for _hdr, seq in r:
+            seqs.append(encode_seq(seq))
+    return build_unitigs(seqs, k, canonical=canonical)

@@ -164,3 +164,28 @@ def test_search_fmin_native_and_python_output_equal(tmp_path, monkeypatch):
     o_orc = str(tmp_path / "orc.txt")
     assert main(["search-fmin", "-o", o_orc, "-i", prefix, "-q", q]) == 0
     assert open(o_orc).read() == a
+
+
+def test_unitigs_pipeline_end_to_end(tmp_path):
+    """reads -> unitigs -> sbwt-build -> build-fmin -> search-fmin with no
+    external tool (the reference needs ggcat for the unitigs step)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    reads = tmp_path / "reads.fna"
+    with open(reads, "w") as f:
+        for i in range(6):
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, 200))
+            f.write(f">r{i}\n{s}\n")
+    uni = str(tmp_path / "unitigs.fna")
+    sbwt = str(tmp_path / "x.sbwt")
+    pfx = str(tmp_path / "p.")
+    out = str(tmp_path / "out.txt")
+    assert main(["unitigs", "-i", str(reads), "-o", uni, "-k", "11"]) == 0
+    assert main(["sbwt-build", "-k", "11", "-i", uni, "-o", sbwt]) == 0
+    assert main(["build-fmin", "-o", pfx, "-i", sbwt, "-u", uni]) == 0
+    assert main(["search-fmin", "-o", out, "-i", pfx, "-q", str(reads)]) == 0
+    txt = open(out).read()
+    # the canonical k-mer set covers every read window (fwd or RC)
+    assert txt.count("(-1,-1)") == 0
+    assert len(txt.splitlines()) == 6
