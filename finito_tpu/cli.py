@@ -101,9 +101,12 @@ def unitigs_cmd(argv: List[str]) -> int:
     p.add_argument("--forward-only", action="store_true",
                    help="directed dBG over the exact k-mers seen "
                    "(default: canonical / bidirected, like ggcat)")
+    p.add_argument("--flip", action="store_true",
+                   help="re-orient the unitigs for head-to-tail chaining "
+                   "(fewer SBWT dummy chains; the unitig_flipper step)")
     args = p.parse_args(argv)
 
-    from finito_tpu.dbg import unitigs_from_fasta
+    from finito_tpu.dbg import flip_unitigs, unitigs_from_fasta
     from finito_tpu.io.fastx import SequenceWriter
     from finito_tpu.io.seqdb import decode_seq
 
@@ -111,6 +114,8 @@ def unitigs_cmd(argv: List[str]) -> int:
     check_writable(args.out_file)
     write_log(f"Building unitigs k={args.k} from {args.in_file}", LogLevel.MAJOR)
     unis = unitigs_from_fasta(args.in_file, args.k, canonical=not args.forward_only)
+    if args.flip:
+        unis = flip_unitigs(unis, args.k)
     with SequenceWriter(args.out_file, fasta=True) as w:
         for i, u in enumerate(unis):
             w.write_record(str(i).encode(), decode_seq(u))
@@ -118,6 +123,48 @@ def unitigs_cmd(argv: List[str]) -> int:
     write_log(
         f"Wrote {args.out_file}: {len(unis)} unitigs, {n_kmers} distinct "
         f"{'canonical ' if not args.forward_only else ''}k-mers",
+        LogLevel.MAJOR,
+    )
+    return 0
+
+
+# -------------------------------------------------------------- flip-unitigs
+
+
+def flip_unitigs_cmd(argv: List[str]) -> int:
+    p = argparse.ArgumentParser(
+        prog="finito flip-unitigs",
+        description="Re-orient unitigs so they chain head-to-tail, "
+        "shrinking the SBWT's $-dummy chains -- the native equivalent "
+        "of the external `unitig_flipper` the reference README "
+        "recommends before `sbwt build`.",
+    )
+    p.add_argument("--input", "-i", required=True, help="Unitig FASTA/FASTQ")
+    p.add_argument("--output", "-o", required=True, help="Output FASTA")
+    p.add_argument("-k", type=int, required=True)
+    args = p.parse_args(argv)
+
+    from finito_tpu.dbg import flip_unitigs
+    from finito_tpu.io.fastx import SequenceReader, SequenceWriter
+    from finito_tpu.io.seqdb import decode_seq, encode_seq
+
+    check_readable(args.input)
+    check_writable(args.output)
+    seqs = []
+    headers = []
+    with SequenceReader(args.input) as r:
+        for hdr, seq in r:
+            headers.append(hdr)
+            seqs.append(encode_seq(seq))
+    flipped = flip_unitigs(seqs, args.k)
+    n_flip = sum(
+        0 if np.array_equal(a, b) else 1 for a, b in zip(seqs, flipped)
+    )
+    with SequenceWriter(args.output, fasta=True) as w:
+        for hdr, u in zip(headers, flipped):
+            w.write_record(hdr, decode_seq(u))
+    write_log(
+        f"Wrote {args.output}: {len(flipped)} unitigs, {n_flip} flipped",
         LogLevel.MAJOR,
     )
     return 0
@@ -561,6 +608,7 @@ COMMANDS = {
     "search-fmin": search_fmin,
     "sbwt-build": sbwt_build,
     "unitigs": unitigs_cmd,
+    "flip-unitigs": flip_unitigs_cmd,
     "convert-sbwt": convert_sbwt,
     "kmer-mapper": _kmer_mapper,
 }

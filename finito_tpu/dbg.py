@@ -353,3 +353,76 @@ def unitigs_from_fasta(path: str, k: int, canonical: bool = True) -> List[np.nda
         for _hdr, seq in r:
             seqs.append(encode_seq(seq))
     return build_unitigs(seqs, k, canonical=canonical)
+
+
+# ---------------------------------------------------------------- flipping
+
+
+def flip_unitigs(unitigs: Sequence[np.ndarray], k: int) -> List[np.ndarray]:
+    """Re-orient unitigs so as many as possible have an incoming
+    (k-1)-overlap -- the native equivalent of the external
+    `unitig_flipper` the reference README recommends before `sbwt build`
+    (/root/reference/README.md:87-91).
+
+    Why it shrinks the index: the SBWT adds a $-padded dummy chain (up
+    to k-1 extra subsets) for every k-mer whose (k-1)-prefix is no
+    k-mer's (k-1)-suffix; a unitig whose first k-mer has an incoming
+    overlap from another stored unitig needs no chain. Flipping replaces
+    a unitig by its reverse complement (same canonical k-mer set; the
+    fwd+RC query merge is orientation-blind), so orientations can be
+    chosen to chain unitigs head-to-tail. Like the reference tool this
+    is a heuristic: a BFS forest over the bidirected overlap graph,
+    orienting each newly reached unitig consistently with the edge that
+    reached it (one potential chain-head per component instead of per
+    unitig).
+    """
+    n = len(unitigs)
+    if n == 0:
+        return []
+    firsts = kw.pack_rows(
+        np.stack([u[: k - 1] for u in unitigs]).astype(np.uint8) + 1
+    )
+    lasts = kw.pack_rows(
+        np.stack([u[-(k - 1):] for u in unitigs]).astype(np.uint8) + 1
+    )
+    rc_firsts = _rc_keys(firsts, k - 1)  # = last (k-1)-mer of RC(u)
+    rc_lasts = _rc_keys(lasts, k - 1)  # = first (k-1)-mer of RC(u)
+
+    def key_bytes(keys, i):
+        return bytes(np.asarray([w[i] for w in keys], dtype=np.uint64).data)
+
+    # endpoint maps: (k-1)-mer -> [(unitig, kind)]; kind 0: first(o=0),
+    # 1: first(o=1) (=rc_lasts), 2: last(o=0), 3: last(o=1) (=rc_firsts)
+    by_key: dict = {}
+    for kind, keys in enumerate((firsts, rc_lasts, lasts, rc_firsts)):
+        for i in range(n):
+            by_key.setdefault(key_bytes(keys, i), []).append((i, kind))
+
+    orient = np.full(n, -1, np.int8)
+    from collections import deque
+
+    for root in range(n):
+        if orient[root] >= 0:
+            continue
+        orient[root] = 0
+        dq = deque([root])
+        while dq:
+            i = dq.popleft()
+            o = int(orient[i])
+            # chosen last/first endpoint keys of i under its orientation
+            last_key = key_bytes(lasts if o == 0 else rc_firsts, i)
+            first_key = key_bytes(firsts if o == 0 else rc_lasts, i)
+            # forward: j whose first(o_j) == my last -> j gets an incoming
+            for j, kind in by_key.get(last_key, ()):
+                if j != i and orient[j] < 0 and kind in (0, 1):
+                    orient[j] = 0 if kind == 0 else 1
+                    dq.append(j)
+            # backward: j whose last(o_j) == my first -> I keep my incoming
+            for j, kind in by_key.get(first_key, ()):
+                if j != i and orient[j] < 0 and kind in (2, 3):
+                    orient[j] = 0 if kind == 2 else 1
+                    dq.append(j)
+    return [
+        u if orient[i] == 0 else (3 - u[::-1]).astype(np.uint8)
+        for i, u in enumerate(unitigs)
+    ]

@@ -246,3 +246,47 @@ def test_pipeline_round_trip():
             ustart = 0 if uid == 0 else int(ends[uid - 1])
             got = decode_seq(concat[ustart + off : ustart + off + k]).decode()
             assert got == u[w : w + k]
+
+
+def test_flip_unitigs_reduces_dummies():
+    """flip_unitigs: same canonical k-mer set, fewer SBWT dummy chains
+    (the reference delegates this to external unitig_flipper)."""
+    from finito_tpu.dbg import flip_unitigs
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+
+    rng = np.random.default_rng(21)
+    k = 11
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    # cut into chained unitigs (k-1 overlap), then RC half of them:
+    # the k-mer set is unchanged but head-to-tail chaining is destroyed
+    cuts = list(range(0, len(genome) - k, 200)) + [len(genome) - k + 1]
+    unis = [genome[a : b + k - 1] for a, b in zip(cuts[:-1], cuts[1:])]
+    mangled = [rc(u) if i % 2 else u for i, u in enumerate(unis)]
+
+    def dummies(seqs):
+        s = build_plain_matrix_sbwt([x.encode() for x in seqs], k)
+        return s.number_of_subsets() - s.number_of_kmers()
+
+    codes = [encode_seq(u.encode()) for u in mangled]
+    flipped = [decode_seq(u).decode() for u in flip_unitigs(codes, k)]
+    # canonical k-mer multiset preserved exactly
+    assert kmer_multiset(flipped, k) == kmer_multiset(mangled, k)
+    d_mangled, d_flipped = dummies(mangled), dummies(flipped)
+    # every unitig chains again -> one dummy chain, like the original
+    assert d_flipped == dummies(unis)
+    assert d_flipped < d_mangled
+
+
+def test_flip_unitigs_identity_when_chained():
+    from finito_tpu.dbg import flip_unitigs
+
+    rng = np.random.default_rng(4)
+    k = 7
+    s = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    unis = [s[a : a + 60 + k - 1] for a in range(0, 240, 60)]
+    codes = [encode_seq(u.encode()) for u in unis]
+    flipped = flip_unitigs(codes, k)
+    # already chained head-to-tail: orientations must be preserved
+    assert all(
+        decode_seq(f).decode() == u for f, u in zip(flipped, unis)
+    )
