@@ -68,6 +68,32 @@ def main() -> int:
     dt = timed(lambda lo: upd(lo), [(lo,) for lo in los])
     results.append(("sbwt_interval_extension", B / dt / 1e6, "Mext/sec"))
 
+    # chain-scan step latency: the floor under the stream/replica
+    # engines' phase A. A lax.scan step doing the 3-gather interval
+    # chain costs max(dispatch latency, gather throughput); measuring
+    # us/step at several lane counts gives the latency floor and the
+    # throughput knee -- the two numbers that pick the optimal
+    # chunk_reads length (lanes scale ~1/chunk, steps ~chunk).
+    from finito_tpu.ops.streaming import make_chain_scan
+    from finito_tpu.sbwt import keys as kkw  # noqa: F401  (parity import)
+
+    ck_tab = jnp.asarray(
+        np.stack([np.zeros(nn, np.int32), np.full(nn, nn - 1, np.int32)], axis=1)
+    )
+    S = 64
+    chain = make_chain_scan(n8, 31, nn)
+    cf = jax.jit(lambda codes: chain(rtab, C, ck_tab, codes))
+    for lanes_pow in (13, 15, 17):
+        lanes = 1 << lanes_pow
+        codes_l = [
+            jnp.asarray(rng.integers(0, 4, size=(lanes, S), dtype=np.uint8))
+            for _ in range(3)
+        ]
+        dt = timed(lambda c: cf(c), [(c,) for c in codes_l], reps=5)
+        results.append(
+            (f"chain_scan_us_per_step_{lanes>>10}k_lanes", dt / S * 1e6, "us/step")
+        )
+
     for name, v, unit in results:
         print(json.dumps({"metric": name, "value": round(v, 1), "unit": unit}))
     return 0
