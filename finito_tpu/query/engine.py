@@ -78,9 +78,12 @@ def build_position_table(
 
 
 def build_locate_tables(pos_table, ends_dev, k: int):
-    """Resolve the per-colex global end offsets into per-colex
-    (unitig id, local offset) ONCE at init, so each query k-mer costs two
-    gathers instead of gather + log(n_unitigs)-step searchsorted + gather.
+    """Resolve the per-colex global end offsets into a per-colex
+    (unitig id, local offset) ROW table once at init, so each query
+    k-mer costs ONE (n, 2) row gather instead of gather +
+    log(n_unitigs)-step searchsorted + gather. A row gather costs ~1.3x
+    a scalar gather on v5e (bench_micro) vs 2x for two scalar tables --
+    and past the ~32 MB gather cliff every big-table touch saved counts.
     +8 bytes/node on top of pos_table's 4 (the compact 'replica' engine
     exists for memory-bound deployments)."""
     g_end = pos_table
@@ -90,24 +93,27 @@ def build_locate_tables(pos_table, ends_dev, k: int):
     u_start = jnp.where(uid > 0, jnp.take(ends_dev, jnp.maximum(uid - 1, 0)), 0)
     off = g_start - u_start
     neg = jnp.int32(-1)
-    return jnp.where(found, uid, neg), jnp.where(found, off, neg)
+    return jnp.stack(
+        [jnp.where(found, uid, neg), jnp.where(found, off, neg)], axis=1
+    )
 
 
-def _ranks_to_locations(uid_table, off_table, ranks):
-    """colex ranks (B, W) -> ((B, W) unitig ids, (B, W) offsets)."""
+def _ranks_to_locations(loc_table, ranks):
+    """colex ranks (B, W) -> ((B, W) unitig ids, (B, W) offsets);
+    one (n, 2) row gather."""
     found = ranks >= 0
     safe = jnp.where(found, ranks, 0)
-    uid = jnp.take(uid_table, safe)
-    off = jnp.take(off_table, safe)
+    rows = jnp.take(loc_table, safe, axis=0)
+    uid, off = rows[..., 0], rows[..., 1]
     found = found & (uid >= 0)
     neg = jnp.int32(-1)
     return jnp.where(found, uid, neg), jnp.where(found, off, neg)
 
 
-def _locate_dense(dsbwt: DeviceSBWT, uid_table, off_table, codes, k: int):
+def _locate_dense(dsbwt: DeviceSBWT, loc_table, codes, k: int):
     """(B, L) codes -> ((B, W) unitig ids, (B, W) offsets); -1 for absent."""
     ranks = kmer_ranks_fixed(dsbwt, codes, k)
-    return _ranks_to_locations(uid_table, off_table, ranks)
+    return _ranks_to_locations(loc_table, ranks)
 
 
 class DeviceQueryEngine:
@@ -153,12 +159,12 @@ class DeviceQueryEngine:
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
             )
-            self.uid_table, self.off_table = jax.jit(build_locate_tables, static_argnums=2)(
+            self.loc_table = jax.jit(build_locate_tables, static_argnums=2)(
                 self.pos_table, self.ends_dev, self.k
             )
-            _jld = jax.jit(_locate_dense, static_argnums=(4,))
+            _jld = jax.jit(_locate_dense, static_argnums=(3,))
             self._locate = lambda codes: _jld(
-                self.dsbwt, self.uid_table, self.off_table, codes, self.k
+                self.dsbwt, self.loc_table, codes, self.k
             )
         elif mode == "stream":
             from finito_tpu.ops.rank24 import (
@@ -170,7 +176,7 @@ class DeviceQueryEngine:
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
             )
-            self.uid_table, self.off_table = jax.jit(build_locate_tables, static_argnums=2)(
+            self.loc_table = jax.jit(build_locate_tables, static_argnums=2)(
                 self.pos_table, self.ends_dev, self.k
             )
             tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
@@ -179,7 +185,7 @@ class DeviceQueryEngine:
             ck = jnp.asarray(build_contract_k_table(index.LCS, self.k))
             n_nodes = index.sbwt.number_of_subsets()
             self._tab, self._n8, self._C, self._ck, self._n_nodes = tab, n8, C, ck, n_nodes
-            uid_table, off_table = self.uid_table, self.off_table
+            loc_table = self.loc_table
             k = self.k
             stream_cache = {}
 
@@ -188,13 +194,13 @@ class DeviceQueryEngine:
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
 
-                def f(tab, C, ck, uid_table, off_table, codes):
+                def f(tab, C, ck, loc_table, codes):
                     ranks, n_unknown = ranks_fn(tab, C, ck, codes)
-                    uid, off = _ranks_to_locations(uid_table, off_table, ranks)
+                    uid, off = _ranks_to_locations(loc_table, ranks)
                     return uid, off, n_unknown > K
 
                 jf = jax.jit(f)
-                return lambda codes: jf(tab, C, ck, uid_table, off_table, codes)
+                return lambda codes: jf(tab, C, ck, loc_table, codes)
 
             def locate_stream(codes):
                 B, L = codes.shape
@@ -377,16 +383,16 @@ class DeviceQueryEngine:
             return pipe
         if self.mode not in ("dense", "stream"):
             raise ValueError(f"no device pipeline for mode {self.mode}")
-        uid_table, off_table = self.uid_table, self.off_table
+        loc_table = self.loc_table
         if self.mode == "dense":
             dsbwt = self.dsbwt
             _jld = jax.jit(
-                lambda d, ut, ot, codes: _locate_dense(d, ut, ot, codes, k)
+                lambda d, lt, codes: _locate_dense(d, lt, codes, k)
                 + (jnp.int32(0),)
             )
 
             def pipe(codes):
-                return _jld(dsbwt, uid_table, off_table, codes)
+                return _jld(dsbwt, loc_table, codes)
 
             pipe.K = batch * W
             return pipe
@@ -397,16 +403,16 @@ class DeviceQueryEngine:
             eff_chunk = self.chunk if self.chunk is not None else max(2 * k, 48)
             ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
 
-            def _pipe(tab, C, ck, ut, ot, codes):
+            def _pipe(tab, C, ck, lt, codes):
                 ranks, n_unknown = ranks_fn(tab, C, ck, codes)
-                uid, off = _ranks_to_locations(ut, ot, ranks)
+                uid, off = _ranks_to_locations(lt, ranks)
                 return uid, off, n_unknown
 
             jitted = jax.jit(_pipe)
             tab, C, ck = self._tab, self._C, self._ck
 
             def pipe(codes):
-                return jitted(tab, C, ck, uid_table, off_table, codes)
+                return jitted(tab, C, ck, loc_table, codes)
 
             pipe.K = K
             return pipe
