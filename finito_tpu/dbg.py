@@ -108,9 +108,30 @@ def _unpack_char(keys: List[np.ndarray], p: int) -> np.ndarray:
     return (v & U64(7)).astype(np.int64)
 
 
-def _collect_nodes(seqs: Sequence[np.ndarray], k: int, canonical: bool):
-    """Sorted unique (canonical) window keys of all sequences."""
+def _collect_nodes(
+    seqs: Sequence[np.ndarray], k: int, canonical: bool,
+    batch_windows: int = 16 << 20,
+):
+    """Sorted unique (canonical) window keys of all sequences.
+
+    Incremental: windows accumulate into ~batch_windows-sized chunks,
+    each chunk is sorted + deduped, then linear-merged into the running
+    sorted-unique set (kw.merge_sorted_unique). Peak memory is
+    ~(distinct + batch) keys instead of every window of every sequence
+    at once -- on a redundant pangenome that is the redundancy factor."""
+    acc = kw.empty(kw.n_words(k))
     parts: List[List[np.ndarray]] = []
+    pending = 0
+
+    def flush():
+        nonlocal acc, parts, pending
+        if not parts:
+            return
+        chunk = kw.dedup_sorted(kw.sort_keys(kw.concat(parts)))
+        parts = []
+        pending = 0
+        acc = kw.merge_sorted_unique(acc, chunk)
+
     for codes in seqs:
         codes = np.asarray(codes, dtype=np.uint8)
         # split at invalid characters (codes > 3): windows must not span
@@ -125,11 +146,11 @@ def _collect_nodes(seqs: Sequence[np.ndarray], k: int, canonical: bool):
             else:
                 canon = fwd
             parts.append(canon)
-    if not parts:
-        return kw.empty(kw.n_words(k))
-    allk = kw.concat(parts)
-    del parts
-    return kw.dedup_sorted(kw.sort_keys(allk))
+            pending += canon[0].size
+            if pending >= batch_windows:
+                flush()
+    flush()
+    return acc
 
 
 def _split_valid(codes: np.ndarray) -> List[np.ndarray]:

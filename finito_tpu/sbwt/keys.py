@@ -240,3 +240,36 @@ def match_into(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
 
 def member(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
     return match_into(A, B) >= 0
+
+
+def merge_sorted_unique(A: List[np.ndarray], B: List[np.ndarray]) -> List[np.ndarray]:
+    """Sorted-unique union of two sorted-unique key lists in O(|A|+|B|)
+    (native two-pointer lower_bound + two scatters), without re-sorting
+    the accumulated side -- the building block for incremental k-mer
+    set collection at pangenome scale (peak memory ~ distinct + batch
+    instead of all windows at once)."""
+    from finito_tpu import native
+
+    if A[0].size == 0:
+        return [w.copy() for w in B]
+    if B[0].size == 0:
+        return [w.copy() for w in A]
+    dup = match_into(B, A) >= 0
+    if dup.all():
+        return A
+    Bn = [w[~dup] for w in B]
+    lb = native.lower_bound(Bn, A)
+    if lb is None:  # no native library: one combined sort
+        return dedup_sorted(sort_keys(concat([A, Bn])))
+    nA, nB = A[0].size, Bn[0].size
+    pos_B = lb + np.arange(nB, dtype=np.int64)
+    # A[i] shifts right by the number of new keys below it:
+    # Bn[j] < A[i]  <=>  lb[j] <= i  (Bn[j] is not in A)
+    pos_A = np.arange(nA, dtype=np.int64) + np.searchsorted(
+        lb, np.arange(nA, dtype=np.int64), side="right"
+    )
+    out = [np.empty(nA + nB, dtype=U64) for _ in A]
+    for w, aw, bw in zip(out, A, Bn):
+        w[pos_A] = aw
+        w[pos_B] = bw
+    return out

@@ -290,3 +290,30 @@ def test_flip_unitigs_identity_when_chained():
     assert all(
         decode_seq(f).decode() == u for f, u in zip(flipped, unis)
     )
+
+
+def test_merge_sorted_unique():
+    from finito_tpu.sbwt import keys as kw
+
+    rng = np.random.default_rng(9)
+    for W in (1, 2, 3):
+        for _ in range(6):
+            a = rng.integers(0, 50, size=(int(rng.integers(0, 40)), W)).astype(np.uint64)
+            b = rng.integers(0, 50, size=(int(rng.integers(0, 40)), W)).astype(np.uint64)
+            A = kw.dedup_sorted(kw.sort_keys([a[:, i].copy() for i in range(W)]))
+            B = kw.dedup_sorted(kw.sort_keys([b[:, i].copy() for i in range(W)]))
+            got = kw.merge_sorted_unique(A, B)
+            exp = kw.dedup_sorted(kw.sort_keys(kw.concat([A, B])))
+            assert all(np.array_equal(g, e) for g, e in zip(got, exp))
+
+
+def test_collect_nodes_batched_equals_unbatched():
+    from finito_tpu.dbg import _collect_nodes
+
+    rng = np.random.default_rng(31)
+    k = 9
+    seqs = [rng.integers(0, 4, size=int(rng.integers(k, 200))).astype(np.uint8)
+            for _ in range(12)]
+    big = _collect_nodes(seqs, k, True)
+    small = _collect_nodes(seqs, k, True, batch_windows=64)  # many flushes
+    assert all(np.array_equal(a, b) for a, b in zip(big, small))
