@@ -104,6 +104,9 @@ def unitigs_cmd(argv: List[str]) -> int:
     p.add_argument("--flip", action="store_true",
                    help="re-orient the unitigs for head-to-tail chaining "
                    "(fewer SBWT dummy chains; the unitig_flipper step)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the node set + successor joins over an "
+                   "N-device mesh (parallel.shard_dbg; 0 = host build)")
     args = p.parse_args(argv)
 
     from finito_tpu.dbg import flip_unitigs, unitigs_from_fasta
@@ -113,7 +116,18 @@ def unitigs_cmd(argv: List[str]) -> int:
     check_readable(args.in_file)
     check_writable(args.out_file)
     write_log(f"Building unitigs k={args.k} from {args.in_file}", LogLevel.MAJOR)
-    unis = unitigs_from_fasta(args.in_file, args.k, canonical=not args.forward_only)
+    if args.mesh > 1:
+        if args.forward_only:
+            raise SystemExit("--mesh supports canonical mode only")
+        from finito_tpu.io.fastx import SequenceReader
+        from finito_tpu.io.seqdb import encode_seq
+        from finito_tpu.parallel.shard_dbg import sharded_unitig_build
+
+        with SequenceReader(args.in_file) as r:
+            seqs = [encode_seq(seq) for _h, seq in r]
+        unis = sharded_unitig_build(seqs, args.k, n_devices=args.mesh)
+    else:
+        unis = unitigs_from_fasta(args.in_file, args.k, canonical=not args.forward_only)
     if args.flip:
         unis = flip_unitigs(unis, args.k)
     with SequenceWriter(args.out_file, fasta=True) as w:

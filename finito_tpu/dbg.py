@@ -288,6 +288,41 @@ def build_unitigs(
             succ[src[hit]] = so[hit]
             np.add.at(indeg, so[hit], 1)
 
+    def fetch_head_mat(fnode, fori):
+        if canonical:
+            headkeys = _select_keys(
+                ~fori, [w[fnode] for w in nodes], [w[fnode] for w in nodes_rc]
+            )
+        else:
+            headkeys = [w[fnode] for w in nodes]
+        head_mat = np.empty((fnode.size, k), dtype=np.uint8)
+        for p in range(k):
+            head_mat[:, p] = _unpack_char(headkeys, p) - 1
+        return head_mat
+
+    top_f = kw.top_char(nodes, k)
+    top_r = kw.top_char(nodes_rc, k) if canonical else top_f
+    return links_to_unitigs(
+        outdeg, succ, indeg, top_f, top_r, fetch_head_mat, k, canonical
+    )
+
+
+def links_to_unitigs(
+    outdeg: np.ndarray,
+    succ: np.ndarray,
+    indeg: np.ndarray,
+    top_f: np.ndarray,
+    top_r: np.ndarray,
+    fetch_head_mat,
+    k: int,
+    canonical: bool,
+) -> List[np.ndarray]:
+    """Degrees/successors (per oriented node id, 2*node + o) -> emitted
+    unitig code arrays. Shared by the host builder and the mesh-sharded
+    builder (parallel.shard_dbg), so both emit bit-identical strings.
+    fetch_head_mat(fnode, fori) -> (n_sel, k) uint8 head k-mer chars."""
+    n_ori = outdeg.size
+
     # ---- links: maximal-path rule --------------------------------------
     # link x->y iff outdeg(x)==1, indeg(y)==1, and y is not (either
     # orientation of) x's node (no self loops / hairpins).
@@ -334,25 +369,12 @@ def build_unitigs(
     # ---- decode emitted chains to code arrays --------------------------
     node_of = order >> 1
     ori_of = (order & 1).astype(bool)
-    top_f = kw.top_char(nodes, k)
-    top_r = kw.top_char(nodes_rc, k) if canonical else top_f
     last_char = (
         np.where(ori_of, top_r[node_of], top_f[node_of]).astype(np.uint8) - 1
     )
     emit_idx = np.flatnonzero(emit)
     firsts = order[chain_starts[emit_idx]]
-    fnode = firsts >> 1
-    fori = (firsts & 1).astype(bool)
-    # head k-mers of all emitted chains, unpacked in k vector passes
-    if canonical:
-        headkeys = _select_keys(
-            ~fori, [w[fnode] for w in nodes], [w[fnode] for w in nodes_rc]
-        )
-    else:
-        headkeys = [w[fnode] for w in nodes]
-    head_mat = np.empty((emit_idx.size, k), dtype=np.uint8)
-    for p in range(k):
-        head_mat[:, p] = _unpack_char(headkeys, p) - 1
+    head_mat = fetch_head_mat(firsts >> 1, (firsts & 1).astype(bool))
     out: List[np.ndarray] = []
     for i, ci in enumerate(emit_idx):
         s, ln = chain_starts[ci], chain_lens[ci]
