@@ -56,6 +56,9 @@ def main() -> int:
     p.add_argument("--reads", type=int, default=512)
     p.add_argument("--read-len", type=int, default=191)
     p.add_argument("--slot-factor", type=int, default=4)
+    p.add_argument("--mesh-build", action="store_true",
+                   help="also build the unitigs themselves on the mesh "
+                   "(parallel.shard_dbg) instead of the host builder")
     args = p.parse_args()
 
     import jax
@@ -100,7 +103,12 @@ def main() -> int:
 
     # ---- 2. canonical unitigs (native ggcat equivalent) -----------------
     t0 = time.perf_counter()
-    unitigs = build_unitigs(genomes, k, canonical=True)
+    if args.mesh_build:
+        from finito_tpu.parallel.shard_dbg import sharded_unitig_build
+
+        unitigs = sharded_unitig_build(genomes, k, n_devices=args.tp)
+    else:
+        unitigs = build_unitigs(genomes, k, canonical=True)
     n_kmers = sum(u.size - k + 1 for u in unitigs)
     uni_s = time.perf_counter() - t0
     log(f"{len(unitigs)} unitigs, {n_kmers} distinct canonical k-mers "

@@ -45,3 +45,15 @@ def test_sharded_overflow_retry():
 def test_sharded_rejects_even_k():
     with pytest.raises(ValueError):
         sharded_unitig_build([np.zeros(20, np.uint8)], 8, n_devices=2)
+
+
+def test_sharded_handles_n_splits_and_bytes_input():
+    from finito_tpu.io.seqdb import encode_seq
+
+    rng = np.random.default_rng(5)
+    s = "".join("ACGT"[c] for c in rng.integers(0, 4, 400))
+    with_n = s[:150] + "N" + s[150:]
+    host = build_unitigs([encode_seq(with_n.encode())], 9)
+    # bytes input + an embedded N (sequence split) through the mesh path
+    shard = sharded_unitig_build([with_n.encode()], 9, n_devices=4)
+    assert _norm(shard) == _norm(host)
