@@ -138,17 +138,21 @@ def _collect_nodes(
         for seg in _split_valid(codes):
             if seg.size < k:
                 continue
-            fwd = kw.pack_windows(seg, k)
-            if canonical:
-                rc = kw.pack_windows((3 - seg)[::-1], k)
-                rc = [w[::-1] for w in rc]  # align: rc[i] == RC(fwd[i])
-                canon = _select_keys(_cmp_words(fwd, rc) <= 0, fwd, rc)
-            else:
-                canon = fwd
-            parts.append(canon)
-            pending += canon[0].size
-            if pending >= batch_windows:
-                flush()
+            # slice long segments too (k-1 overlap keeps every window):
+            # one whole-genome segment must not defeat the batching
+            for a in range(0, seg.size - k + 1, batch_windows):
+                piece = seg[a : a + batch_windows + k - 1]
+                fwd = kw.pack_windows(piece, k)
+                if canonical:
+                    rc = kw.pack_windows((3 - piece)[::-1], k)
+                    rc = [w[::-1] for w in rc]  # align: rc[i] == RC(fwd[i])
+                    canon = _select_keys(_cmp_words(fwd, rc) <= 0, fwd, rc)
+                else:
+                    canon = fwd
+                parts.append(canon)
+                pending += canon[0].size
+                if pending >= batch_windows:
+                    flush()
     flush()
     return acc
 

@@ -135,6 +135,39 @@ def _host_splitters(samples: List[np.ndarray], S: int, Pp: int) -> np.ndarray:
     return planes[idx]
 
 
+def _pack_shards(segs: Sequence[np.ndarray], k: int, S: int, key_fn):
+    """Host prep shared by the mesh builders: greedy contiguous split of
+    the segments over S shards by window count, per-shard packing via
+    key_fn(seg) -> key word list, sentinel-padded (S, N0, P) planes,
+    and a strided per-shard splitter sample (a few KB -- the full key
+    sets are never concatenated on the host).
+
+    Returns (keys0, shard_sample, total_windows)."""
+    Pp = kj.n_planes(k)
+    wins = np.array([c.size - k + 1 for c in segs], np.int64)
+    total = int(wins.sum())
+    if total == 0:
+        raise ValueError("no k-mers in input")
+    bounds = np.searchsorted(np.cumsum(wins), np.arange(1, S) * (total / S))
+    groups = np.split(np.arange(len(segs)), bounds)
+    W = (3 * k + 63) // 64
+    shard_keys = [
+        kw.concat([key_fn(segs[i]) for i in g]) if len(g) else kw.empty(W)
+        for g in groups
+    ]
+    N0 = max(1, max(ks[0].size for ks in shard_keys))
+    keys0 = np.full((S, N0, Pp), 0xFFFFFFFF, np.uint32)
+    for s, ks in enumerate(shard_keys):
+        if ks[0].size:
+            keys0[s, : ks[0].size] = kj.from_host(ks)
+    stride = max(1, total // (64 * S))
+    sample = kw.concat(
+        [kw.take(ks, np.arange(0, ks[0].size, stride)) for ks in shard_keys
+         if ks[0].size]
+    )
+    return keys0, sample, total
+
+
 def sharded_sbwt_build(
     seqs: Sequence,
     k: int,
@@ -165,30 +198,12 @@ def sharded_sbwt_build(
             raise ValueError("Invalid character in input sequence (only ACGT allowed)")
         if codes.size >= k:
             codes_all.append(codes)
-    wins = np.array([c.size - k + 1 for c in codes_all], np.int64)
-    total = int(wins.sum())
-    if total == 0:
-        raise ValueError("no k-mers in input")
     # greedy contiguous split (per-shard host packing mirrors per-host IO)
-    bounds = np.searchsorted(np.cumsum(wins), np.arange(1, S) * (total / S))
-    groups = np.split(np.arange(len(codes_all)), bounds)
-    W = (3 * k + 63) // 64
-    shard_keys = [
-        kw.concat([kw.pack_windows(codes_all[i], k) for i in g])
-        if len(g)
-        else kw.empty(W)
-        for g in groups
-    ]
-    N0 = max(1, max(ks[0].size for ks in shard_keys))
-    keys0 = np.full((S, N0, Pp), 0xFFFFFFFF, np.uint32)
-    for s, ks in enumerate(shard_keys):
-        if ks[0].size:
-            keys0[s, : ks[0].size] = kj.from_host(ks)
+    keys0, sample, total = _pack_shards(
+        codes_all, k, S, lambda seg: kw.pack_windows(seg, k)
+    )
 
     # splitters: node-key space (1) and (k-1)-suffix space (2)
-    stride = max(1, total // (64 * S))
-    sample = kw.concat([ks for ks in shard_keys if ks[0].size])
-    sample = kw.take(sample, np.arange(0, sample[0].size, stride))
     spl1 = _host_splitters(sample, S, Pp)
     spl2 = _host_splitters(kw.shift_right3(sample), S, Pp)
 

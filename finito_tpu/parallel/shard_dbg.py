@@ -35,7 +35,6 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -45,13 +44,12 @@ from finito_tpu.parallel.shard_build import (
     _exchange,
     _flat_mesh,
     _host_splitters,
+    _pack_shards,
     _put,
     _resent,
     _sort_dedup_compact,
 )
 from finito_tpu.sbwt import keys as kw
-
-U64 = np.uint64
 
 
 def _rc_rows(keys, k: int):
@@ -119,10 +117,6 @@ def sharded_unitig_build(
         )
     if not segs:
         return []
-    wins = np.array([c.size - k + 1 for c in segs], np.int64)
-    total = int(wins.sum())
-    bounds = np.searchsorted(np.cumsum(wins), np.arange(1, S) * (total / S))
-    groups = np.split(np.arange(len(segs)), bounds)
 
     def canon_keys(seg):
         fwd = kw.pack_windows(seg, k)
@@ -130,20 +124,7 @@ def sharded_unitig_build(
         rc = [w[::-1] for w in rc]
         return _select_keys(_cmp_words(fwd, rc) <= 0, fwd, rc)
 
-    W = kw.n_words(k)
-    shard_keys = [
-        kw.concat([canon_keys(segs[i]) for i in g]) if len(g) else kw.empty(W)
-        for g in groups
-    ]
-    N0 = max(1, max(ks[0].size for ks in shard_keys))
-    keys0 = np.full((S, N0, Pp), 0xFFFFFFFF, np.uint32)
-    for s, ks in enumerate(shard_keys):
-        if ks[0].size:
-            keys0[s, : ks[0].size] = kj.from_host(ks)
-
-    stride = max(1, total // (64 * S))
-    sample = kw.concat([ks for ks in shard_keys if ks[0].size])
-    sample = kw.take(sample, np.arange(0, sample[0].size, stride))
+    keys0, sample, _total = _pack_shards(segs, k, S, canon_keys)
     spl = _host_splitters(sample, S, Pp)
 
     # ---- phase A/B: sample-sort + dedup -> nodes, colex-range sharded --
@@ -175,7 +156,19 @@ def sharded_unitig_build(
     assert int(np.asarray(ovfB).sum()) == 0
     m_host = np.asarray(m_s).astype(np.int64)
     n = int(m_host.sum())
+    if 2 * n >= (1 << 31):
+        # oriented ids and exchange answers are int32 (as in
+        # sharded_finimizer_select, shard_build.py) -- refuse rather
+        # than silently wrap at >= 2^30 distinct canonical k-mers
+        raise ValueError(f"sharded unitig build supports < 2^30 nodes, got {n}")
     base = np.concatenate([[0], np.cumsum(m_host)[:-1]])  # global id base/shard
+
+    # recompact: nodes occupy the FRONT of each shard's capacity-R1
+    # block (sort_dedup_compact); on redundant input the distinct count
+    # is far below the window capacity, so reslice before the 8
+    # successor exchanges scale their shapes by R1.
+    R2 = max(1, int(m_host.max()))
+    nodes_sh = nodes_sh[:, :R2]
 
     # ---- phase S: successor resolution (routed join) -------------------
     # Each shard emits 8 candidate canonical keys per local node
@@ -184,7 +177,7 @@ def sharded_unitig_build(
     # candidates route by the SAME splitters as the nodes; the owning
     # shard merge-joins them against its node range and answers the
     # GLOBAL node index (base + local row).
-    M3 = max(1, int(np.ceil(slack * R1 / S)))
+    M3 = max(1, int(np.ceil(slack * R2 / S)))
     base_dev = jnp.asarray(base, jnp.int32)
 
     while True:
@@ -231,7 +224,7 @@ def sharded_unitig_build(
         M3 *= 2
 
     # ---- host: assemble degrees/links over global oriented ids ---------
-    ans8 = np.asarray(ans8)   # (S, 8, R1)
+    ans8 = np.asarray(ans8)   # (S, 8, R2)
     isf8 = np.asarray(isf8)
     outdeg = np.zeros(2 * n, np.int8)
     succ = np.full(2 * n, -1, np.int64)
@@ -252,7 +245,7 @@ def sharded_unitig_build(
     indeg = outdeg.reshape(-1, 2)[:, ::-1].reshape(-1)  # indeg(y)=outdeg(y^1)
 
     # ---- emission: identical logic + key fetches from the shards -------
-    nodes_np = np.asarray(nodes_sh)  # (S, R1, P)
+    nodes_np = np.asarray(nodes_sh)  # (S, R2, P)
 
     def fetch_rows(gids: np.ndarray) -> List[np.ndarray]:
         sh = np.searchsorted(base, gids, side="right") - 1
