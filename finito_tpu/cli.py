@@ -107,6 +107,9 @@ def unitigs_cmd(argv: List[str]) -> int:
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard the node set + successor joins over an "
                    "N-device mesh (parallel.shard_dbg; 0 = host build)")
+    p.add_argument("--min-multiplicity", type=int, default=1, metavar="M",
+                   help="drop k-mers seen fewer than M times (like "
+                   "ggcat; use >= 2 for raw sequencing reads)")
     args = p.parse_args(argv)
 
     from finito_tpu.dbg import flip_unitigs, unitigs_from_fasta
@@ -119,6 +122,8 @@ def unitigs_cmd(argv: List[str]) -> int:
     if args.mesh > 1:
         if args.forward_only:
             raise SystemExit("--mesh supports canonical mode only")
+        if args.min_multiplicity > 1:
+            raise SystemExit("--min-multiplicity requires the host build (no --mesh)")
         from finito_tpu.io.fastx import SequenceReader
         from finito_tpu.io.seqdb import encode_seq
         from finito_tpu.parallel.shard_dbg import sharded_unitig_build
@@ -127,7 +132,10 @@ def unitigs_cmd(argv: List[str]) -> int:
             seqs = [encode_seq(seq) for _h, seq in r]
         unis = sharded_unitig_build(seqs, args.k, n_devices=args.mesh)
     else:
-        unis = unitigs_from_fasta(args.in_file, args.k, canonical=not args.forward_only)
+        unis = unitigs_from_fasta(
+            args.in_file, args.k, canonical=not args.forward_only,
+            min_mult=args.min_multiplicity,
+        )
     if args.flip:
         unis = flip_unitigs(unis, args.k)
     with SequenceWriter(args.out_file, fasta=True) as w:

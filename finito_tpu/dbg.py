@@ -110,27 +110,53 @@ def _unpack_char(keys: List[np.ndarray], p: int) -> np.ndarray:
 
 def _collect_nodes(
     seqs: Sequence[np.ndarray], k: int, canonical: bool,
-    batch_windows: int = 16 << 20,
+    batch_windows: int = 16 << 20, min_mult: int = 1,
 ):
-    """Sorted unique (canonical) window keys of all sequences.
+    """Sorted unique (canonical) window keys of all sequences, keeping
+    only k-mers seen >= min_mult times (ggcat's --min-multiplicity:
+    with sequencing reads, singletons are usually errors).
 
     Incremental: windows accumulate into ~batch_windows-sized chunks,
-    each chunk is sorted + deduped, then linear-merged into the running
-    sorted-unique set (kw.merge_sorted_unique). Peak memory is
-    ~(distinct + batch) keys instead of every window of every sequence
-    at once -- on a redundant pangenome that is the redundancy factor."""
+    each chunk is sorted + deduped (run-length counted when min_mult >
+    1), then linear-merged into the running sorted-unique set
+    (kw.merge_sorted_unique). Peak memory is ~(distinct + batch) keys
+    instead of every window of every sequence at once -- on a redundant
+    pangenome that is the redundancy factor."""
+    counted = min_mult > 1
     acc = kw.empty(kw.n_words(k))
+    acc_counts = np.zeros(0, np.int64)
     parts: List[List[np.ndarray]] = []
     pending = 0
 
     def flush():
-        nonlocal acc, parts, pending
+        nonlocal acc, acc_counts, parts, pending
         if not parts:
             return
-        chunk = kw.dedup_sorted(kw.sort_keys(kw.concat(parts)))
+        srt = kw.sort_keys(kw.concat(parts))
         parts = []
         pending = 0
-        acc = kw.merge_sorted_unique(acc, chunk)
+        dup = kw.eq_adjacent(srt)
+        chunk = [w[~dup] for w in srt]
+        if not counted:
+            acc = kw.merge_sorted_unique(acc, chunk)
+            return
+        # run-length counts of the sorted chunk
+        starts = np.flatnonzero(~dup)
+        cnt = np.diff(np.append(starts, dup.size))
+        # counts of chunk keys already in acc accumulate in place;
+        # new keys merge in with their counts aligned by position
+        hit = kw.match_into(chunk, acc)
+        old = hit >= 0
+        np.add.at(acc_counts, hit[old], cnt[old])
+        new_keys = [w[~old] for w in chunk]
+        if new_keys[0].size:
+            merged = kw.merge_sorted_unique(acc, new_keys)
+            pos_of_old = kw.match_into(acc, merged)
+            pos_of_new = kw.match_into(new_keys, merged)
+            nc = np.zeros(merged[0].size, np.int64)
+            nc[pos_of_old] = acc_counts
+            nc[pos_of_new] = cnt[~old]
+            acc, acc_counts = merged, nc
 
     for codes in seqs:
         codes = np.asarray(codes, dtype=np.uint8)
@@ -154,6 +180,9 @@ def _collect_nodes(
                 if pending >= batch_windows:
                     flush()
     flush()
+    if counted:
+        keep = acc_counts >= min_mult
+        return [w[keep] for w in acc]
     return acc
 
 
@@ -241,17 +270,20 @@ def _chain_decompose(
 
 
 def build_unitigs(
-    seqs: Sequence[np.ndarray], k: int, canonical: bool = True
+    seqs: Sequence[np.ndarray], k: int, canonical: bool = True,
+    min_mult: int = 1,
 ) -> List[np.ndarray]:
     """Sequences (uint8 code arrays, 0..3 = ACGT, >3 splits) -> unitig
     code arrays (uint8 0..3), a DSPSS of the input's (canonical) k-mer
-    set. See module docstring for the graph rules."""
+    set. min_mult drops k-mers seen fewer times (ggcat
+    --min-multiplicity; the dBG is built over the survivors). See
+    module docstring for the graph rules."""
     if not (2 <= k <= 250):
         raise ValueError("need 2 <= k <= 250")
     if canonical and k % 2 == 0:
         raise ValueError("canonical mode requires odd k (no self-RC k-mers)")
 
-    nodes = _collect_nodes(seqs, k, canonical)
+    nodes = _collect_nodes(seqs, k, canonical, min_mult=min_mult)
     n = nodes[0].size
     if n == 0:
         return []
@@ -389,7 +421,9 @@ def links_to_unitigs(
     return out
 
 
-def unitigs_from_fasta(path: str, k: int, canonical: bool = True) -> List[np.ndarray]:
+def unitigs_from_fasta(
+    path: str, k: int, canonical: bool = True, min_mult: int = 1
+) -> List[np.ndarray]:
     """Convenience: FASTA/FASTQ (± gzip) -> unitig code arrays.
     Non-ACGT characters split sequences (no k-mer spans them)."""
     from finito_tpu.io.fastx import SequenceReader
@@ -399,7 +433,7 @@ def unitigs_from_fasta(path: str, k: int, canonical: bool = True) -> List[np.nda
     with SequenceReader(path) as r:
         for _hdr, seq in r:
             seqs.append(encode_seq(seq))
-    return build_unitigs(seqs, k, canonical=canonical)
+    return build_unitigs(seqs, k, canonical=canonical, min_mult=min_mult)
 
 
 # ---------------------------------------------------------------- flipping

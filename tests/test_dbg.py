@@ -317,3 +317,47 @@ def test_collect_nodes_batched_equals_unbatched():
     big = _collect_nodes(seqs, k, True)
     small = _collect_nodes(seqs, k, True, batch_windows=64)  # many flushes
     assert all(np.array_equal(a, b) for a, b in zip(big, small))
+
+
+def test_min_multiplicity_filters_singletons():
+    """Error-containing reads: k-mers seen once are dropped, the rest
+    form the same unitigs as a brute filter (counts over canonical)."""
+    from collections import Counter
+
+    rng = np.random.default_rng(13)
+    k = 9
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+    reads = []
+    for _ in range(6):  # 6 coverage passes, each with one error
+        r = list(base)
+        p = int(rng.integers(0, len(r)))
+        r[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+
+    for mm in (2, 3):
+        cnt = Counter()
+        for s in reads:
+            for i in range(len(s) - k + 1):
+                cnt[min(s[i : i + k], rc(s[i : i + k]), key=colex_key)] += 1
+        surv = {w for w, c in cnt.items() if c >= mm}
+        # oracle over a synthetic input spelling exactly the survivors
+        exp = brute_unitigs(sorted(surv), k) if surv else []
+        codes = [encode_seq(s.encode()) for s in reads]
+        got = sorted(
+            decode_seq(u).decode() for u in build_unitigs(codes, k, min_mult=mm)
+        )
+        assert got == exp, f"min_mult={mm}"
+        assert set(kmer_multiset(got, k)) == surv
+
+
+def test_min_multiplicity_batching_invariance():
+    from finito_tpu.dbg import _collect_nodes
+
+    rng = np.random.default_rng(17)
+    k = 7
+    seqs = [rng.integers(0, 4, size=int(rng.integers(k, 120))).astype(np.uint8)
+            for _ in range(10)]
+    seqs += [seqs[0].copy(), seqs[1].copy()]  # guaranteed repeats
+    big = _collect_nodes(seqs, k, True, min_mult=2)
+    small = _collect_nodes(seqs, k, True, min_mult=2, batch_windows=32)
+    assert all(np.array_equal(a, b) for a, b in zip(big, small))
