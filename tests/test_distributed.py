@@ -104,3 +104,36 @@ def test_two_process_jax_distributed(tmp_path):
 
     assert open(out_multi).read() == open(out_single).read()
     assert open(out_multi).read().count("\n") == 25
+
+
+def test_two_process_tp_sharded_index():
+    """REAL cross-process INDEX sharding: 2 OS processes form a
+    4-device global mesh; the minimizer index's text/tables shard over
+    tp=4 so each process holds only half the index (the
+    pangenome-exceeds-one-host layout), and the sharded locate runs as
+    one cross-process SPMD program verified against the host oracle
+    inside each rank."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_tp_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+        assert b"tp-sharded locate verified" in so
