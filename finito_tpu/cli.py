@@ -110,6 +110,11 @@ def unitigs_cmd(argv: List[str]) -> int:
     p.add_argument("--min-multiplicity", type=int, default=1, metavar="M",
                    help="drop k-mers seen fewer than M times (like "
                    "ggcat; use >= 2 for raw sequencing reads)")
+    p.add_argument("--mode", choices=["unitigs", "simplitigs"],
+                   default="unitigs",
+                   help="simplitigs: greedy maximal walks through branch "
+                   "nodes -- same k-mer set, far fewer strings, smaller "
+                   "downstream index (the eulertig-style space win)")
     args = p.parse_args(argv)
 
     from finito_tpu.dbg import flip_unitigs, unitigs_from_fasta
@@ -119,7 +124,17 @@ def unitigs_cmd(argv: List[str]) -> int:
     check_readable(args.in_file)
     check_writable(args.out_file)
     write_log(f"Building unitigs k={args.k} from {args.in_file}", LogLevel.MAJOR)
-    if args.mesh > 1:
+    if args.mode == "simplitigs":
+        if args.forward_only or args.mesh > 1:
+            raise SystemExit("--mode simplitigs: host canonical build only")
+        from finito_tpu.dbg import build_simplitigs
+        from finito_tpu.io.fastx import SequenceReader
+        from finito_tpu.io.seqdb import encode_seq
+
+        with SequenceReader(args.in_file) as r:
+            seqs = [encode_seq(seq) for _h, seq in r]
+        unis = build_simplitigs(seqs, args.k, min_mult=args.min_multiplicity)
+    elif args.mesh > 1:
         if args.forward_only:
             raise SystemExit("--mesh supports canonical mode only")
         if args.min_multiplicity > 1:

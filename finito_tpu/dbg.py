@@ -507,3 +507,95 @@ def flip_unitigs(unitigs: Sequence[np.ndarray], k: int) -> List[np.ndarray]:
         u if orient[i] == 0 else (3 - u[::-1]).astype(np.uint8)
         for i, u in enumerate(unitigs)
     ]
+
+
+# --------------------------------------------------------------- simplitigs
+
+
+def build_simplitigs(
+    seqs: Sequence[np.ndarray], k: int, min_mult: int = 1
+) -> List[np.ndarray]:
+    """Greedy maximal-walk SPSS (simplitigs, Brinda et al. 2021) over
+    the canonical k-mer set: like unitigs this covers every canonical
+    k-mer exactly once (a valid t=1 DSPSS for the index), but walks may
+    pass THROUGH branch nodes, so there are far fewer strings and
+    (k-1) fewer overlap characters per string -- a direct index-size
+    win at pangenome scale where unitigs fragment at variant bubbles.
+    Near-minimal in practice; the provably minimal variant (eulertigs)
+    is out of scope (DEVIATIONS item 15).
+
+    Hot traversal is native C++ (binary-searched successor probes over
+    the sorted canonical key set, deterministic first-fit char order);
+    the Python fallback walks a dict at small scale. Odd k only.
+    """
+    if not (2 <= k <= 250) or k % 2 == 0:
+        raise ValueError("simplitigs: canonical mode needs odd k in [3, 249]")
+    from finito_tpu import native
+
+    nodes = _collect_nodes(seqs, k, True, min_mult=min_mult)
+    n = nodes[0].size
+    if n == 0:
+        return []
+    res = native.simplitigs(nodes, k)
+    if res is not None:
+        concat, ends = res
+        out = []
+        prev = 0
+        for e in ends:
+            out.append(concat[prev:e].copy())
+            prev = int(e)
+        return out
+    return _simplitigs_python(nodes, k)
+
+
+def _simplitigs_python(nodes: List[np.ndarray], k: int) -> List[np.ndarray]:
+    """Fallback: the same deterministic greedy walk over a host dict
+    (same first-fit char order as the native kernel -> same output)."""
+    n = nodes[0].size
+    key_of = {}
+    for i in range(n):
+        key_of[tuple(int(w[i]) for w in nodes)] = i
+    used = np.zeros(n, bool)
+    nodes_rc = _rc_keys(nodes, k)
+
+    def one(i):
+        return [np.asarray([w[i]]) for w in nodes]
+
+    def extend(cur, cur_rc):
+        chars = []
+        while True:
+            base = kw.shift_right3(cur)
+            base_rc = kw.shift_left(kw.mask_low(cur_rc, k - 1), 1)
+            found = False
+            for c in range(1, 5):
+                y = _set_top_char(base, k, c)
+                yr = [w.copy() for w in base_rc]
+                yr[0] = yr[0] | U64(5 - c)
+                q = y if _cmp_words(y, yr)[0] <= 0 else yr
+                j = key_of.get(tuple(int(w[0]) for w in q), -1)
+                if j >= 0 and not used[j]:
+                    used[j] = True
+                    chars.append(c)
+                    cur, cur_rc = y, yr
+                    found = True
+                    break
+            if not found:
+                return chars
+
+    out = []
+    for seed in range(n):
+        if used[seed]:
+            continue
+        used[seed] = True
+        right = extend(one(seed), [np.asarray([w[seed]]) for w in nodes_rc])
+        left = extend([np.asarray([w[seed]]) for w in nodes_rc], one(seed))
+        chars = np.empty(k + len(left) + len(right), np.uint8)
+        for i, c in enumerate(reversed(left)):
+            chars[i] = (5 - c) - 1
+        hk = one(seed)
+        for p in range(k):
+            chars[len(left) + p] = _unpack_char(hk, p)[0] - 1
+        for i, c in enumerate(right):
+            chars[len(left) + k + i] = c - 1
+        out.append(chars)
+    return out

@@ -97,6 +97,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fin_lower_bound.argtypes = [u64p, i64, u64p, i64, i64, i64p]
         lib.fin_scatter_max.restype = None
         lib.fin_scatter_max.argtypes = [i64p, i64p, i64p, i64]
+        lib.fin_simplitigs.restype = None
+        lib.fin_simplitigs.argtypes = [u64p, i64, i64, i64, u8p, u8p,
+                                       ctypes.c_int, u8p, i64p, i64p, i64p]
         _lib = lib
         return _lib
 
@@ -363,3 +366,38 @@ def minimizer_positions(hv, ends, k: int, m: int):
         _i64p(ends), int(ends.size), k, m, _i64p(out),
     )
     return out[:n].copy()
+
+
+def simplitigs(keys_sorted, k: int):
+    """Greedy maximal walks (simplitigs) over sorted canonical keys:
+    (concat_codes uint8 0..3, ends int64) or None without the library."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    W = len(keys_sorted)
+    n = int(keys_sorted[0].size)
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    A = np.ascontiguousarray(
+        np.stack([np.ascontiguousarray(w, dtype=np.uint64) for w in keys_sorted])
+    )
+    used = np.empty(n, np.uint8)
+    scratch = np.empty(2 * n + 2 * k, np.uint8)
+    total = np.zeros(1, np.int64)
+    walks = np.zeros(1, np.int64)
+    nullp = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    nulli = ctypes.cast(None, ctypes.POINTER(ctypes.c_int64))
+    lib.fin_simplitigs(_u64p(A), n, W, k, used.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), scratch.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), 0, nullp, nulli,
+        _i64p(total), _i64p(walks))
+    out = np.empty(int(total[0]), np.uint8)
+    ends = np.empty(int(walks[0]), np.int64)
+    lib.fin_simplitigs(_u64p(A), n, W, k, used.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), scratch.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i64p(ends),
+        _i64p(total), _i64p(walks))
+    return out, ends

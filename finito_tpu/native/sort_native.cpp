@@ -346,4 +346,155 @@ int64_t fin_format_pairs(const int32_t* u, const int32_t* p,
     return (int64_t)(w - out);
 }
 
+namespace {
+
+// ---- simplitigs helpers: single packed keys as local word buffers ----
+constexpr int64_t SIMP_W_MAX = 12;  // k <= 250 -> ceil(3k/64) <= 12
+
+inline void skey_load(const uint64_t* keys, int64_t n, int64_t i, int64_t W,
+                      uint64_t* out) {
+    for (int64_t w = 0; w < W; w++) out[w] = keys[w * n + i];
+}
+
+inline int64_t skey_bsearch(const uint64_t* keys, int64_t n, int64_t W,
+                            const uint64_t* q) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        int c = 0;
+        for (int64_t w = W - 1; w >= 0; w--) {
+            uint64_t a = keys[w * n + mid];
+            if (a < q[w]) { c = -1; break; }
+            if (a > q[w]) { c = 1; break; }
+        }
+        if (c < 0) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= n) return -1;
+    for (int64_t w = 0; w < W; w++)
+        if (keys[w * n + lo] != q[w]) return -1;
+    return lo;
+}
+
+inline uint64_t skey_char(const uint64_t* a, int64_t W, int64_t p) {
+    int64_t bit = 3 * p, q = bit >> 6, r = bit & 63;
+    uint64_t v = a[q] >> r;
+    if (r > 61 && q + 1 < W) v |= a[q + 1] << (64 - r);
+    return v & 7ULL;
+}
+
+inline void skey_set_char(uint64_t* a, int64_t W, int64_t p, uint64_t c) {
+    int64_t bit = 3 * p, q = bit >> 6, r = bit & 63;
+    a[q] |= c << r;
+    if (r > 61 && q + 1 < W) a[q + 1] |= c >> (64 - r);
+}
+
+inline void skey_rc(const uint64_t* a, int64_t W, int64_t k, uint64_t* out) {
+    for (int64_t w = 0; w < W; w++) out[w] = 0;
+    for (int64_t p = 0; p < k; p++)
+        skey_set_char(out, W, k - 1 - p, 5ULL - skey_char(a, W, p));
+}
+
+inline int skey_cmp(const uint64_t* a, const uint64_t* b, int64_t W) {
+    for (int64_t w = W - 1; w >= 0; w--) {
+        if (a[w] < b[w]) return -1;
+        if (a[w] > b[w]) return 1;
+    }
+    return 0;
+}
+
+// greedy right-extension of (cur, cur_rc); consumed chars (1..4) go to
+// `chars` when non-null; returns the number of extensions.
+inline int64_t simp_extend(const uint64_t* keys, int64_t n, int64_t W, int64_t k,
+                           uint8_t* used, uint64_t* cur, uint64_t* cur_rc,
+                           uint8_t* chars, int64_t* n_chars) {
+    uint64_t base[SIMP_W_MAX], base_rc[SIMP_W_MAX];
+    uint64_t y[SIMP_W_MAX], yr[SIMP_W_MAX];
+    int64_t cnt = 0;
+    for (;;) {
+        // base = cur >> 3 (drop first char)
+        for (int64_t w = 0; w < W; w++) {
+            base[w] = cur[w] >> 3;
+            if (w + 1 < W) base[w] |= cur[w + 1] << 61;
+        }
+        // base_rc = (cur_rc keep low k-1 chars) << 3
+        {
+            int64_t bit = 3 * (k - 1);
+            uint64_t masked[SIMP_W_MAX];
+            for (int64_t w = 0; w < W; w++) {
+                int64_t lo = 64 * w, hi = lo + 64;
+                if (bit >= hi) masked[w] = cur_rc[w];
+                else if (bit <= lo) masked[w] = 0;
+                else masked[w] = cur_rc[w] & ((1ULL << (bit - lo)) - 1);
+            }
+            for (int64_t w = W - 1; w >= 0; w--) {
+                base_rc[w] = masked[w] << 3;
+                if (w > 0) base_rc[w] |= masked[w - 1] >> 61;
+            }
+        }
+        bool found = false;
+        for (uint64_t c = 1; c <= 4 && !found; c++) {
+            for (int64_t w = 0; w < W; w++) { y[w] = base[w]; yr[w] = base_rc[w]; }
+            skey_set_char(y, W, k - 1, c);
+            yr[0] |= (5ULL - c);
+            const uint64_t* q = skey_cmp(y, yr, W) <= 0 ? y : yr;
+            int64_t j = skey_bsearch(keys, n, W, q);
+            if (j >= 0 && !used[j]) {
+                used[j] = 1;
+                if (chars) chars[(*n_chars)++] = (uint8_t)c;
+                cnt++;
+                for (int64_t w = 0; w < W; w++) { cur[w] = y[w]; cur_rc[w] = yr[w]; }
+                found = true;
+            }
+        }
+        if (!found) break;
+    }
+    return cnt;
+}
+
+}  // namespace
+
+// Greedy maximal walks (simplitigs) over a sorted canonical k-mer set
+// (word-major keys, LSW first). Two modes sharing one deterministic
+// traversal: write == 0 counts (out_total/out_walks), write == 1 fills
+// out_chars (0..3 codes, walks back to back) + out_ends (exclusive).
+// `scratch` must hold >= 2n + 2k uint8 (left/right char stacks).
+void fin_simplitigs(const uint64_t* keys, int64_t n, int64_t W, int64_t k,
+                    uint8_t* used, uint8_t* scratch, int write,
+                    uint8_t* out_chars, int64_t* out_ends,
+                    int64_t* out_total, int64_t* out_walks) {
+    uint64_t cur[SIMP_W_MAX], cur_rc[SIMP_W_MAX];
+    uint8_t* right = scratch;
+    uint8_t* left = scratch + n + k;
+    int64_t total = 0, walks = 0, wpos = 0;
+    for (int64_t i = 0; i < n; i++) used[i] = 0;
+    for (int64_t seed = 0; seed < n; seed++) {
+        if (used[seed]) continue;
+        used[seed] = 1;
+        int64_t nr = 0, nl = 0;
+        skey_load(keys, n, seed, W, cur);
+        skey_rc(cur, W, k, cur_rc);
+        simp_extend(keys, n, W, k, used, cur, cur_rc, right, &nr);
+        // left: walk successors of the seed's RC orientation; char c
+        // there is predecessor char comp(c) prepended in the output
+        skey_load(keys, n, seed, W, cur_rc);
+        skey_rc(cur_rc, W, k, cur);  // cur = rc(seed), cur_rc = seed
+        simp_extend(keys, n, W, k, used, cur, cur_rc, left, &nl);
+        int64_t len = k + nr + nl;
+        total += len;
+        walks++;
+        if (write) {
+            for (int64_t i = nl - 1; i >= 0; i--)
+                out_chars[wpos++] = (uint8_t)(5 - left[i]) - 1;
+            skey_load(keys, n, seed, W, cur);
+            for (int64_t p = 0; p < k; p++)
+                out_chars[wpos++] = (uint8_t)skey_char(cur, W, p) - 1;
+            for (int64_t i = 0; i < nr; i++)
+                out_chars[wpos++] = right[i] - 1;
+            out_ends[walks - 1] = wpos;
+        }
+    }
+    *out_total = total;
+    *out_walks = walks;
+}
+
 }  // extern "C"

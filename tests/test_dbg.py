@@ -361,3 +361,65 @@ def test_min_multiplicity_batching_invariance():
     big = _collect_nodes(seqs, k, True, min_mult=2)
     small = _collect_nodes(seqs, k, True, min_mult=2, batch_windows=32)
     assert all(np.array_equal(a, b) for a, b in zip(big, small))
+
+
+def test_simplitigs_dspss_and_native_equals_python():
+    from finito_tpu.dbg import build_simplitigs
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        k = [5, 9, 31][trial % 3]
+        base = "".join("ACGT"[c] for c in rng.integers(0, 4, 200))
+        seqs = [base]
+        for _ in range(int(rng.integers(1, 4))):
+            v = list(base)
+            for _ in range(int(rng.integers(1, 5))):
+                p = int(rng.integers(0, len(v)))
+                v[p] = "ACGT"[int(rng.integers(0, 4))]
+            seqs.append("".join(v))
+        codes = [encode_seq(s.encode()) for s in seqs]
+        simp = build_simplitigs(codes, k)
+        simp_s = [decode_seq(u).decode() for u in simp]
+        # DSPSS: every canonical k-mer exactly once, set preserved
+        km = kmer_multiset(simp_s, k)
+        assert len(km) == len(set(km))
+        assert set(km) == set(kmer_multiset(seqs, k))
+        # fewer or equal strings and total chars vs unitigs
+        unis = impl_unitigs(seqs, k)
+        assert len(simp_s) <= len(unis)
+        assert sum(map(len, simp_s)) <= sum(map(len, unis))
+        # native kernel == python fallback, string for string
+        import os
+
+        os.environ["FINITO_NO_NATIVE"] = "1"
+        try:
+            simp_py = [decode_seq(u).decode() for u in build_simplitigs(codes, k)]
+        finally:
+            del os.environ["FINITO_NO_NATIVE"]
+        assert simp_s == simp_py
+
+
+def test_simplitigs_index_round_trip():
+    from finito_tpu.dbg import build_simplitigs
+    from finito_tpu.index.builder import FinimizerIndexBuilder
+    from finito_tpu.io.seqdb import SeqDB
+    from finito_tpu.sbwt.construct import build_plain_matrix_sbwt
+    from finito_tpu.sbwt.lcs import lcs_array
+
+    rng = np.random.default_rng(29)
+    k = 11
+    reads = ["".join("ACGT"[c] for c in rng.integers(0, 4, 150)) for _ in range(4)]
+    simp = build_simplitigs([encode_seq(s.encode()) for s in reads], k)
+    useqs = [decode_seq(u) for u in simp]
+    sbwt, node_keys = build_plain_matrix_sbwt(useqs, k, return_keys=True)
+    index = FinimizerIndexBuilder(
+        sbwt, lcs_array(sbwt), SeqDB.from_sequences(useqs), node_keys=node_keys
+    ).get_index()
+    ends = np.asarray(index.unitigs.ends)
+    concat = np.asarray(index.unitigs.concat)
+    for u in useqs[:3]:
+        res = index.search(u).local_offsets
+        for w, (uid, off) in enumerate(res):
+            assert uid >= 0
+            ustart = 0 if uid == 0 else int(ends[uid - 1])
+            assert decode_seq(concat[ustart + off : ustart + off + k]) == u[w : w + k]
