@@ -377,6 +377,8 @@ def simplitigs(keys_sorted, k: int):
     if lib is None:
         return None
     W = len(keys_sorted)
+    if W > 12:  # kernel's local key buffers are sized for k <= 250
+        return None
     n = int(keys_sorted[0].size)
     if n == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.int64)

@@ -368,7 +368,7 @@ def test_simplitigs_dspss_and_native_equals_python():
 
     rng = np.random.default_rng(23)
     for trial in range(5):
-        k = [5, 9, 31][trial % 3]
+        k = [5, 9, 31, 63, 45][trial % 5]
         base = "".join("ACGT"[c] for c in rng.integers(0, 4, 200))
         seqs = [base]
         for _ in range(int(rng.integers(1, 4))):
