@@ -90,6 +90,19 @@ def build_su_ustart_table(LCS: np.ndarray, Ustart: np.ndarray) -> np.ndarray:
     return su | (np.asarray(Ustart, np.uint16) << np.uint16(8))
 
 
+def build_uend_table(ends) -> np.ndarray:
+    """rank24 table over the unitig-END positions of the concatenated
+    text: uid(g_start) == #{ends <= g_start} == rank(g_start + 1) --
+    ONE gather, replacing jnp.searchsorted over the ends array whose
+    XLA lowering is a ~log2(n_unitigs)-round binary search of gathers
+    per window. +0.5 byte per text position (still the compact engine:
+    the SBWT rank24 rows alone are 4x that)."""
+    e = np.asarray(ends, dtype=np.int64)
+    bits = np.zeros(int(e[-1]) + 2 if e.size else 2, dtype=np.uint8)
+    bits[e] = 1
+    return build_rank24_tables(bits[None, :])
+
+
 def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     """Two-phase exact replica: optimistic chain + segment repair.
 
@@ -131,8 +144,9 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     ustart_tab = jnp.asarray(build_rank24_tables(np.asarray(index.Ustart, np.uint8)[None, :]))
     goffs = jnp.asarray(index.global_offsets.astype(np.int64), dtype=jnp.int32)
     ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
+    uend_tab = jnp.asarray(build_uend_table(index.unitigs.ends))
 
-    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends)
+    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab)
     NEG = jnp.int32(-1)
 
     # ---- phase A: optimistic chain (emit, cand_x, untrusted) ------------
@@ -181,7 +195,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
 
     # ---- phase B: exact repair of untrusted segments --------------------
     def repair(P, codes, emit, cand, untrusted):
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends) = P
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab) = P
 
         def upd(c, lo, hi):
             return update_interval24(tab, n8, C, c, lo, hi)
@@ -282,7 +296,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     def run(P, codes):
         from finito_tpu.ops.streaming import chunk_reads, unchunk_grid
 
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends) = P
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab) = P
         B, L = codes.shape
         W = L - k + 1
         cc_len = chunk
@@ -350,7 +364,9 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
 
         g_end = jnp.where(use_branch, g_end_branch, g_end_fin)
         g_start = g_end - k + 1
-        uid = jnp.searchsorted(ends, g_start, side="right").astype(jnp.int32)
+        # uid via one rank gather on the unitig-end bitvector (see
+        # build_uend_table) instead of a log-round searchsorted
+        uid = rank1(uend_tab, jnp.where(found, g_start, 0) + 1)
         u_start2 = jnp.where(uid > 0, jnp.take(ends, jnp.maximum(uid - 1, 0)), 0)
         off = g_start - u_start2
         return (
@@ -390,11 +406,12 @@ def make_replica_locate(index):
 
     # arrays ride as one jit argument pytree (closure constants would be
     # baked into the HLO, breaking remote compiles for big indexes)
-    params = (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends)
+    uend_tab = jnp.asarray(build_uend_table(index.unitigs.ends))
+    params = (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends, uend_tab)
 
     # -------- exact chain scan with drop-based recovery ------------------
     def chain(P, codes):
-        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends) = P
+        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends, uend_tab) = P
 
         def upd(c, lo, hi):
             return update_interval24(tab, n8, C, c, lo, hi)
@@ -474,7 +491,7 @@ def make_replica_locate(index):
 
     # ---------------------------- full locate ----------------------------
     def run(P, codes):
-        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends) = P
+        (tab, C, ck, jl, jr, su, fmin_tab, ustart_tab, ustart_bits, goffs, ends, uend_tab) = P
         B, L = codes.shape
         W = L - k + 1
         emit, cl, cc, up, ux = chain(P, codes)
@@ -517,7 +534,7 @@ def make_replica_locate(index):
 
         g_end = jnp.where(use_branch, g_end_branch, g_end_fin)
         g_start = g_end - k + 1
-        uid = jnp.searchsorted(ends, g_start, side="right").astype(jnp.int32)
+        uid = rank1(uend_tab, jnp.where(found, g_start, 0) + 1)
         u_start2 = jnp.where(uid > 0, jnp.take(ends, jnp.maximum(uid - 1, 0)), 0)
         off = g_start - u_start2
         neg = jnp.int32(-1)
