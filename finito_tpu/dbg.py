@@ -48,64 +48,18 @@ from finito_tpu.sbwt import keys as kw
 
 U64 = np.uint64
 
-
-def _cmp_words(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
-    """Elementwise colex compare of equal-length key lists: int8 sign."""
-    cmp = np.zeros(A[0].shape, dtype=np.int8)
-    for a, b in zip(A, B):  # LSW -> MSW: later (more significant) wins
-        c = (a > b).astype(np.int8) - (a < b).astype(np.int8)
-        np.copyto(cmp, c, where=c != 0)
-    return cmp
-
-
-def _select_keys(flag: np.ndarray, A: List[np.ndarray], B: List[np.ndarray]):
-    """Elementwise flag ? A : B over key lists."""
-    return [np.where(flag, a, b) for a, b in zip(A, B)]
+# generic packed-key arithmetic lives with the other multiword-key ops;
+# kept under the old private names for this module's internal callers
+_cmp_words = kw.cmp_keys
+_select_keys = kw.select_keys
+_rc_keys = kw.rc_keys
+_set_top_char = kw.set_top_char
+_unpack_char = kw.unpack_char
 
 
-def _rc_keys(keys: List[np.ndarray], k: int) -> List[np.ndarray]:
-    """Reverse complement of packed keys: char c at position p (values
-    1..4) becomes 5-c at position k-1-p. k passes of word arithmetic."""
-    n = keys[0].size
-    W = len(keys)
-    out = [np.zeros(n, dtype=U64) for _ in range(W)]
-    five = U64(5)
-    for p in range(k):
-        bit = 3 * p
-        q, r = bit >> 6, bit & 63
-        c = keys[q] >> U64(r)
-        if r > 61 and q + 1 < W:
-            c = c | (keys[q + 1] << U64(64 - r))
-        c = c & U64(7)
-        comp = five - c
-        tb = 3 * (k - 1 - p)
-        tq, tr = tb >> 6, tb & 63
-        out[tq] |= comp << U64(tr)
-        if tr > 61 and tq + 1 < W:
-            out[tq + 1] |= comp >> U64(64 - tr)
-    return out
 
 
-def _set_top_char(keys: List[np.ndarray], k: int, c: int) -> List[np.ndarray]:
-    """keys | (c << 3(k-1)) -- caller guarantees the slot is zero."""
-    bit = 3 * (k - 1)
-    q, r = bit >> 6, bit & 63
-    out = [w.copy() for w in keys]
-    cv = U64(c)
-    out[q] = out[q] | (cv << U64(r))
-    if r > 61 and q + 1 < len(keys):
-        out[q + 1] = out[q + 1] | (cv >> U64(64 - r))
-    return out
 
-
-def _unpack_char(keys: List[np.ndarray], p: int) -> np.ndarray:
-    """Char value (1..4) at position p of each key."""
-    bit = 3 * p
-    q, r = bit >> 6, bit & 63
-    v = keys[q] >> U64(r)
-    if r > 61 and q + 1 < len(keys):
-        v = v | (keys[q + 1] << U64(64 - r))
-    return (v & U64(7)).astype(np.int64)
 
 
 def _collect_nodes(
@@ -455,32 +409,59 @@ def flip_unitigs(unitigs: Sequence[np.ndarray], k: int) -> List[np.ndarray]:
     is a heuristic: a BFS forest over the bidirected overlap graph,
     orienting each newly reached unitig consistently with the edge that
     reached it (one potential chain-head per component instead of per
-    unitig).
+    unitig). Endpoint matching is one vectorized sort over the 4n
+    endpoint keys; the BFS touches each run by array slicing.
     """
     n = len(unitigs)
     if n == 0:
         return []
+    for i, u in enumerate(unitigs):
+        if u.size < k:
+            raise ValueError(
+                f"flip-unitigs: record {i} is shorter than k ({u.size} < {k})"
+            )
+        if np.any(np.asarray(u) > 3):
+            raise ValueError(
+                f"flip-unitigs: record {i} contains non-ACGT characters"
+            )
     firsts = kw.pack_rows(
-        np.stack([u[: k - 1] for u in unitigs]).astype(np.uint8) + 1
+        np.stack([np.asarray(u[: k - 1], np.uint8) for u in unitigs]) + 1
     )
     lasts = kw.pack_rows(
-        np.stack([u[-(k - 1):] for u in unitigs]).astype(np.uint8) + 1
+        np.stack([np.asarray(u[-(k - 1):], np.uint8) for u in unitigs]) + 1
     )
-    rc_firsts = _rc_keys(firsts, k - 1)  # = last (k-1)-mer of RC(u)
-    rc_lasts = _rc_keys(lasts, k - 1)  # = first (k-1)-mer of RC(u)
+    rc_firsts = kw.rc_keys(firsts, k - 1)  # = last (k-1)-mer of RC(u)
+    rc_lasts = kw.rc_keys(lasts, k - 1)  # = first (k-1)-mer of RC(u)
 
-    def key_bytes(keys, i):
-        return bytes(np.asarray([w[i] for w in keys], dtype=np.uint64).data)
-
-    # endpoint maps: (k-1)-mer -> [(unitig, kind)]; kind 0: first(o=0),
-    # 1: first(o=1) (=rc_lasts), 2: last(o=0), 3: last(o=1) (=rc_firsts)
-    by_key: dict = {}
-    for kind, keys in enumerate((firsts, rc_lasts, lasts, rc_firsts)):
-        for i in range(n):
-            by_key.setdefault(key_bytes(keys, i), []).append((i, kind))
+    # one sort groups all 4n endpoint keys into equal-key runs; member
+    # m of the concatenation encodes (kind = m // n, unitig = m % n):
+    # kind 0: first(o=0), 1: first(o=1), 2: last(o=0), 3: last(o=1)
+    comb = kw.concat([firsts, rc_lasts, lasts, rc_firsts])
+    order = kw.sort_order(comb)
+    skeys = kw.take(comb, order)
+    new_run = ~kw.eq_adjacent(skeys)
+    run_of_sorted = np.cumsum(new_run) - 1
+    run_of = np.empty(4 * n, np.int64)
+    run_of[order] = run_of_sorted
+    run_start = np.flatnonzero(new_run)
+    run_end = np.append(run_start[1:], 4 * n)
 
     orient = np.full(n, -1, np.int8)
     from collections import deque
+
+    def visit_run(r, want_first, dq):
+        # want_first: reach unitigs via their FIRST endpoint (kinds 0/1,
+        # giving them an incoming overlap); else via LAST (kinds 2/3)
+        for m in order[run_start[r] : run_end[r]]:
+            kind, j = int(m) // n, int(m) % n
+            if orient[j] >= 0:
+                continue
+            if want_first and kind in (0, 1):
+                orient[j] = 0 if kind == 0 else 1
+                dq.append(j)
+            elif not want_first and kind in (2, 3):
+                orient[j] = 0 if kind == 2 else 1
+                dq.append(j)
 
     for root in range(n):
         if orient[root] >= 0:
@@ -490,21 +471,12 @@ def flip_unitigs(unitigs: Sequence[np.ndarray], k: int) -> List[np.ndarray]:
         while dq:
             i = dq.popleft()
             o = int(orient[i])
-            # chosen last/first endpoint keys of i under its orientation
-            last_key = key_bytes(lasts if o == 0 else rc_firsts, i)
-            first_key = key_bytes(firsts if o == 0 else rc_lasts, i)
-            # forward: j whose first(o_j) == my last -> j gets an incoming
-            for j, kind in by_key.get(last_key, ()):
-                if j != i and orient[j] < 0 and kind in (0, 1):
-                    orient[j] = 0 if kind == 0 else 1
-                    dq.append(j)
-            # backward: j whose last(o_j) == my first -> I keep my incoming
-            for j, kind in by_key.get(first_key, ()):
-                if j != i and orient[j] < 0 and kind in (2, 3):
-                    orient[j] = 0 if kind == 2 else 1
-                    dq.append(j)
+            # my chosen last endpoint key == their first -> they chain in
+            visit_run(run_of[(2 + o) * n + i], True, dq)
+            # my chosen first endpoint key == their last -> I chain in
+            visit_run(run_of[o * n + i], False, dq)
     return [
-        u if orient[i] == 0 else (3 - u[::-1]).astype(np.uint8)
+        u if orient[i] == 0 else (3 - np.asarray(u, np.uint8)[::-1]).astype(np.uint8)
         for i, u in enumerate(unitigs)
     ]
 

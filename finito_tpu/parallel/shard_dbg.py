@@ -95,8 +95,8 @@ def sharded_unitig_build(
     """build_unitigs(canonical=True) with the node set and successor
     joins sharded over the mesh; returns the same unitig code arrays
     bit-for-bit (tests/test_shard_dbg.py)."""
-    from finito_tpu.dbg import _cmp_words, _rc_keys, _select_keys, _split_valid
-    from finito_tpu.dbg import _unpack_char, links_to_unitigs
+    from finito_tpu.dbg import _split_valid, links_to_unitigs
+    from finito_tpu.sbwt.keys import cmp_keys, rc_keys, select_keys, unpack_char
     from finito_tpu.io.seqdb import encode_seq
 
     if not (2 <= k <= 250) or k % 2 == 0:
@@ -122,7 +122,7 @@ def sharded_unitig_build(
         fwd = kw.pack_windows(seg, k)
         rc = kw.pack_windows((3 - seg)[::-1], k)
         rc = [w[::-1] for w in rc]
-        return _select_keys(_cmp_words(fwd, rc) <= 0, fwd, rc)
+        return select_keys(cmp_keys(fwd, rc) <= 0, fwd, rc)
 
     keys0, sample, _total = _pack_shards(segs, k, S, canon_keys)
     spl = _host_splitters(sample, S, Pp)
@@ -257,15 +257,15 @@ def sharded_unitig_build(
         np.concatenate([nodes_np[s, : m_host[s]] for s in range(S)], axis=0)
     )
     top_f = kw.top_char(all_keys, k)
-    top_r = kw.top_char(_rc_keys(all_keys, k), k)
+    top_r = kw.top_char(rc_keys(all_keys, k), k)
 
     def fetch_head_mat(fnode, fori):
         keys = fetch_rows(fnode)
-        rck = _rc_keys(keys, k)
+        rck = rc_keys(keys, k)
         sel = [np.where(fori, r, f) for f, r in zip(keys, rck)]
         head_mat = np.empty((fnode.size, k), dtype=np.uint8)
         for p in range(k):
-            head_mat[:, p] = _unpack_char(sel, p) - 1
+            head_mat[:, p] = unpack_char(sel, p) - 1
         return head_mat
 
     return links_to_unitigs(

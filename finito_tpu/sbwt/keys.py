@@ -273,3 +273,62 @@ def merge_sorted_unique(A: List[np.ndarray], B: List[np.ndarray]) -> List[np.nda
         w[pos_A] = aw
         w[pos_B] = bw
     return out
+
+
+def cmp_keys(A: List[np.ndarray], B: List[np.ndarray]) -> np.ndarray:
+    """Elementwise colex compare of equal-length key lists: int8 sign."""
+    cmp = np.zeros(A[0].shape, dtype=np.int8)
+    for a, b in zip(A, B):  # LSW -> MSW: later (more significant) wins
+        c = (a > b).astype(np.int8) - (a < b).astype(np.int8)
+        np.copyto(cmp, c, where=c != 0)
+    return cmp
+
+
+def select_keys(flag: np.ndarray, A: List[np.ndarray], B: List[np.ndarray]):
+    """Elementwise flag ? A : B over key lists."""
+    return [np.where(flag, a, b) for a, b in zip(A, B)]
+
+
+def rc_keys(keys: List[np.ndarray], k: int) -> List[np.ndarray]:
+    """Reverse complement of packed keys: char c at position p (values
+    1..4) becomes 5-c at position k-1-p. k passes of word arithmetic."""
+    n = keys[0].size
+    W = len(keys)
+    out = [np.zeros(n, dtype=U64) for _ in range(W)]
+    five = U64(5)
+    for p in range(k):
+        bit = 3 * p
+        q, r = bit >> 6, bit & 63
+        c = keys[q] >> U64(r)
+        if r > 61 and q + 1 < W:
+            c = c | (keys[q + 1] << U64(64 - r))
+        c = c & U64(7)
+        comp = five - c
+        tb = 3 * (k - 1 - p)
+        tq, tr = tb >> 6, tb & 63
+        out[tq] |= comp << U64(tr)
+        if tr > 61 and tq + 1 < W:
+            out[tq + 1] |= comp >> U64(64 - tr)
+    return out
+
+
+def set_top_char(keys: List[np.ndarray], k: int, c: int) -> List[np.ndarray]:
+    """keys | (c << 3(k-1)) -- caller guarantees the slot is zero."""
+    bit = 3 * (k - 1)
+    q, r = bit >> 6, bit & 63
+    out = [w.copy() for w in keys]
+    cv = U64(c)
+    out[q] = out[q] | (cv << U64(r))
+    if r > 61 and q + 1 < len(keys):
+        out[q + 1] = out[q + 1] | (cv >> U64(64 - r))
+    return out
+
+
+def unpack_char(keys: List[np.ndarray], p: int) -> np.ndarray:
+    """Char value (1..4) at position p of each key."""
+    bit = 3 * p
+    q, r = bit >> 6, bit & 63
+    v = keys[q] >> U64(r)
+    if r > 61 and q + 1 < len(keys):
+        v = v | (keys[q + 1] << U64(64 - r))
+    return (v & U64(7)).astype(np.int64)

@@ -423,3 +423,12 @@ def test_simplitigs_index_round_trip():
             assert uid >= 0
             ustart = 0 if uid == 0 else int(ends[uid - 1])
             assert decode_seq(concat[ustart + off : ustart + off + k]) == u[w : w + k]
+
+
+def test_flip_unitigs_rejects_bad_input():
+    from finito_tpu.dbg import flip_unitigs
+
+    with pytest.raises(ValueError, match="non-ACGT"):
+        flip_unitigs([encode_seq(b"ACGTNACGTA")], 5)
+    with pytest.raises(ValueError, match="shorter than k"):
+        flip_unitigs([encode_seq(b"ACG")], 5)
