@@ -59,6 +59,10 @@ def main() -> int:
     p.add_argument("--mesh-build", action="store_true",
                    help="also build the unitigs themselves on the mesh "
                    "(parallel.shard_dbg) instead of the host builder")
+    p.add_argument("--spss", choices=["unitigs", "simplitigs"],
+                   default="unitigs",
+                   help="simplitigs: greedy maximal walks (fewer strings, "
+                   "~18%% smaller index at this shape; see README)")
     args = p.parse_args()
 
     import jax
@@ -103,7 +107,11 @@ def main() -> int:
 
     # ---- 2. canonical unitigs (native ggcat equivalent) -----------------
     t0 = time.perf_counter()
-    if args.mesh_build:
+    if args.spss == "simplitigs":
+        from finito_tpu.dbg import build_simplitigs
+
+        unitigs = build_simplitigs(genomes, k)
+    elif args.mesh_build:
         from finito_tpu.parallel.shard_dbg import sharded_unitig_build
 
         unitigs = sharded_unitig_build(genomes, k, n_devices=args.tp)
