@@ -181,11 +181,20 @@ class FinimizerIndex:
         binary puts inside a prefix, FinimizerIndex.hh:206), or a
         variant-headed algbio file (defensive: a standalone `sbwt
         build` output copied into the prefix)."""
+        import struct
+
         from finito_tpu.io.algbio_sbwt import read_algbio_sbwt, sniff_format
 
         fmt = sniff_format(path)
         if fmt == "finito":
-            return PlainMatrixSBWT.load(path)
+            with open(path, "rb") as f:
+                head = f.read(8)
+                if head == PlainMatrixSBWT.MAGIC:
+                    f.seek(0)
+                else:  # variant-string prefix ("plain-matrix") then payload
+                    (n,) = struct.unpack("<Q", head)
+                    f.seek(8 + n)
+                return PlainMatrixSBWT.load(f)
         sbwt, _sgs = read_algbio_sbwt(path, variant_header=(fmt == "algbio"))
         return sbwt
 

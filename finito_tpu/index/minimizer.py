@@ -136,7 +136,6 @@ class MinimizerIndex:
         k: int,
         m: int | None = None,
         slot_factor: int = 32,
-        force_h: int | None = None,
     ) -> "MinimizerIndex":
         """concat: 2-bit codes of all unitigs back to back (permuted order,
         same layout as PackedStrings.concat); ends: exclusive end offsets.
@@ -149,10 +148,8 @@ class MinimizerIndex:
         to int64); they exceed int32 DEVICE addressing, so single-chip
         upload (DeviceMinimizerIndex) rejects them -- shard over the tp
         mesh axis instead (parallel.mesh.ShardedMinimizerIndex.build,
-        whose per-shard texts are int32-addressable).
-
-        force_h pins the slot-table size 2^force_h (the tp-sharded form
-        stacks per-shard tables, which therefore need a uniform h).
+        whose per-shard texts are int32-addressable; its uniform slot
+        width comes from rebucket(), a no-op for already-matching h).
         """
         concat = np.asarray(concat, dtype=np.uint8)
         ends64 = np.asarray(ends, dtype=np.int64)
@@ -207,10 +204,7 @@ class MinimizerIndex:
         # fraction is ~the window-weighted load factor (A/B-measured
         # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
-        if force_h is not None:
-            h = int(force_h)
-        else:
-            h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
+        h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
         if order is None:

@@ -141,6 +141,7 @@ class DeviceQueryEngine:
         self.index = index
         self.chunk = chunk
         self._mindex_cache = mindex_cache
+        self._locate_async_deferred = None  # set by modes that support it
         self.k = index.sbwt.get_k()
         self.mode = mode
         self.mesh_shape = tuple(mesh) if mesh else None
@@ -271,9 +272,27 @@ class DeviceQueryEngine:
 
             import os as _os2
 
+            mindex = None
             if self._mindex_cache and _os2.path.exists(self._mindex_cache):
                 mindex = MinimizerIndex.load(self._mindex_cache)
-            else:
+                # a stale cache (different index) would silently return
+                # wrong (uid, off): check the invariants that tie the
+                # cache to THIS index and rebuild on mismatch
+                if (
+                    mindex.k != self.k
+                    or mindex.concat.size != np.asarray(index.unitigs.concat).size
+                    or not np.array_equal(
+                        np.asarray(mindex.ends), np.asarray(index.unitigs.ends)
+                    )
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"minimizer cache {self._mindex_cache} does not match "
+                        "this index (k/text/ends differ); rebuilding"
+                    )
+                    mindex = None
+            if mindex is None:
                 mindex = MinimizerIndex.from_finimizer_index(index)
                 if self._mindex_cache:
                     mindex.serialize(self._mindex_cache)
@@ -292,34 +311,64 @@ class DeviceQueryEngine:
                 else int(np.asarray(dmi.desc).nbytes) >= (64 << 20)
             )
             mini_cache = {}
+            mini_sizes = {}  # (B, W) -> last sufficient (K, KH)
 
-            def locate_minimizer(codes):
+            def _mini_dispatch(codes, K, KH):
+                key = (K, KH, use_v2)
+                if key not in mini_cache:
+                    mini_cache[key] = (
+                        make_minimizer_locate_v2(dmi, K, KH)
+                        if use_v2
+                        else make_minimizer_locate(dmi, K)
+                    )
+                return mini_cache[key](codes)
+
+            def locate_minimizer_async(codes):
+                """Dispatch with the last-known-sufficient capacities and
+                DEFER the overflow readback: returns (uid_dev, off_dev,
+                verify) where verify() blocks on the counters and, on the
+                rare overflow, re-runs at larger capacity and returns the
+                corrected (uid_dev, off_dev) (else None). Lets the
+                serving path double-buffer without a device sync inside
+                the dispatch half."""
                 B, L = codes.shape
                 W = L - self.k + 1
                 # v2's K bounds slow RUNS (~windows / run-length fewer)
-                K = max(256, (B * W) // (256 if use_v2 else 32))
-                KH = max(1024, (B * W) // 6)
-                while True:
-                    key = (K, KH, use_v2)
-                    if key not in mini_cache:
-                        mini_cache[key] = (
-                            make_minimizer_locate_v2(dmi, K, KH)
-                            if use_v2
-                            else make_minimizer_locate(dmi, K)
-                        )
-                    out = mini_cache[key](codes)
-                    uid, off, n_slow = out[0], out[1], int(out[2])
-                    n_heads = int(out[3]) if use_v2 else 0
-                    if n_slow <= K and n_heads <= KH:
-                        return uid, off
-                    if K >= B * W and KH >= B * W:
-                        raise AssertionError("slow-path overflow at K == B*W")
-                    if n_slow > K:
-                        K = min(B * W, K * 4)
-                    if n_heads > KH:
-                        KH = min(B * W, max(KH * 2, n_heads))
+                K, KH = mini_sizes.get((B, W)) or (
+                    max(256, (B * W) // (256 if use_v2 else 32)),
+                    max(1024, (B * W) // 6),
+                )
+                k0 = int(_os.environ.get("FINITO_MIN_K0", "0"))
+                if k0 > 0:  # tests: force the overflow/verify path
+                    K, KH = k0, max(k0, 4)
+                    mini_sizes.pop((B, W), None)
+                first = _mini_dispatch(codes, K, KH)
+
+                def verify(K=K, KH=KH):
+                    out = first
+                    while True:
+                        n_slow = int(out[2])
+                        n_heads = int(out[3]) if use_v2 else 0
+                        if n_slow <= K and n_heads <= KH:
+                            mini_sizes[(B, W)] = (K, KH)
+                            return None if out is first else (out[0], out[1])
+                        if K >= B * W and KH >= B * W:
+                            raise AssertionError("slow-path overflow at K == B*W")
+                        if n_slow > K:
+                            K = min(B * W, K * 4)
+                        if n_heads > KH:
+                            KH = min(B * W, max(KH * 2, n_heads))
+                        out = _mini_dispatch(codes, K, KH)
+
+                return first[0], first[1], verify
+
+            def locate_minimizer(codes):
+                uid, off, verify = locate_minimizer_async(codes)
+                fixed = verify()
+                return fixed if fixed is not None else (uid, off)
 
             self._locate = locate_minimizer
+            self._locate_async_deferred = locate_minimizer_async
         elif mode == "replica":
             from finito_tpu.query.replica import make_replica_locate_v2
 
@@ -433,6 +482,26 @@ class DeviceQueryEngine:
             codes = padded
         uid, off = self._locate(jnp.asarray(codes))
         return uid, off, B, L - self.k + 1
+
+    def _locate_batch_deferred(self, codes: np.ndarray):
+        """locate_batch_async with the capacity check DEFERRED: returns
+        (uid_dev, off_dev, B, W, verify). verify is None (nothing to
+        check) or a callable that blocks on the overflow counters and
+        returns corrected (uid_dev, off_dev) on the rare overflow
+        re-run, else None. The serving begin/end split calls verify at
+        READBACK time so the dispatch half never syncs the device."""
+        B, L = codes.shape
+        L_pad = max(128, -(-L // 128) * 128)
+        B_pad = 1 << max(0, (B - 1).bit_length())
+        if (B_pad, L_pad) != (B, L):
+            padded = np.full((B_pad, L_pad), 255, dtype=np.uint8)
+            padded[:B, :L] = codes
+            codes = padded
+        if self._locate_async_deferred is None:
+            uid, off = self._locate(jnp.asarray(codes))
+            return uid, off, B, L - self.k + 1, None
+        uid, off, verify = self._locate_async_deferred(jnp.asarray(codes))
+        return uid, off, B, L - self.k + 1, verify
 
     def locate_batch(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """codes: (B, L) uint8 (pad with 255), L >= k. Returns (B, W) unitig
@@ -615,11 +684,13 @@ class DeviceQueryEngine:
 
     def merged_pairs_flat_begin(self, reads: Sequence[bytes]):
         """Dispatch half of merged_pairs_flat: encode + locate + device
-        merge/RLE, all async -- no host blocking beyond the jit
-        dispatches. Returns an opaque handle for merged_pairs_flat_end.
-        The split lets the CLI double-buffer chunks (dispatch chunk n+1
-        before reading back chunk n) so device compute runs under the
-        host's line formatting and file writes."""
+        merge/RLE, all async -- the capacity check that used to block
+        here is deferred to _end via _locate_batch_deferred, so this
+        half really is sync-free for the minimizer engine. Returns an
+        opaque handle for merged_pairs_flat_end. The split lets the CLI
+        double-buffer chunks (dispatch chunk n+1 before reading back
+        chunk n) so device compute runs under the host's line formatting
+        and file writes."""
         k = self.k
         line_lens = np.zeros(len(reads), np.int64)
         batch_idx, batch_codes, both = self._encode_both_strands(reads)
@@ -627,13 +698,14 @@ class DeviceQueryEngine:
             return (line_lens, None)
         lens = np.array([c.size - k + 1 for c in batch_codes], dtype=np.int64)
         line_lens[np.asarray(batch_idx, dtype=np.int64)] = lens
-        uid_d, off_d, _, _ = self.locate_batch_async(both)
+        uid_d, off_d, _, _, verify = self._locate_batch_deferred(both)
         B2, Wp = int(uid_d.shape[0]), int(uid_d.shape[1])
         lens_pad = np.zeros(B2 // 2, np.int32)
         lens_pad[: len(batch_codes)] = lens
         K = int(min((B2 // 2) * Wp, max(4096, 16 * (B2 // 2))))
         out = self._merge_rle_fn(B2, Wp, K)(uid_d, off_d, jnp.asarray(lens_pad))
-        return (line_lens, (batch_codes, lens, uid_d, off_d, K, out))
+        return (line_lens, (batch_codes, lens, uid_d, off_d, K, out,
+                            verify, lens_pad))
 
     def merged_pairs_flat_end(self, handle):
         """Readback half of merged_pairs_flat_begin: O(runs) transfer +
@@ -642,7 +714,18 @@ class DeviceQueryEngine:
         if rest is None:
             z = np.zeros(0, np.int32)
             return line_lens, z, z, 0, 0
-        batch_codes, lens, uid_d, off_d, K, (u0d, p0d, p1d, rld, stats) = rest
+        (batch_codes, lens, uid_d, off_d, K, out, verify, lens_pad) = rest
+        if verify is not None:
+            fixed = verify()
+            if fixed is not None:
+                # rare slow-path overflow: the optimistic locate (and the
+                # merge chained on it) were invalid; redo both exactly
+                uid_d, off_d = fixed
+                B2, Wp = int(uid_d.shape[0]), int(uid_d.shape[1])
+                out = self._merge_rle_fn(B2, Wp, K)(
+                    uid_d, off_d, jnp.asarray(lens_pad)
+                )
+        (u0d, p0d, p1d, rld, stats) = out
         n_runs, kf, kr = (int(x) for x in np.asarray(stats))
         if n_runs > K:
             return self._merged_pairs_host(

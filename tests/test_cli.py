@@ -189,3 +189,27 @@ def test_unitigs_pipeline_end_to_end(tmp_path):
     # the canonical k-mer set covers every read window (fwd or RC)
     assert txt.count("(-1,-1)") == 0
     assert len(txt.splitlines()) == 6
+
+
+def test_prefix_with_variant_headed_finito_sbwt(tmp_path):
+    """A `finito sbwt-build` output (variant string + FINSBWT1) copied
+    verbatim into an index prefix as <prefix>.sbwt must load (the
+    defensive case load_sbwt_member's docstring promises)."""
+    import shutil
+
+    from finito_tpu.index.index import FinimizerIndex
+
+    rng = np.random.default_rng(9)
+    uni = tmp_path / "u.fna"
+    with open(uni, "w") as f:
+        f.write(">0\n" + "".join("ACGT"[c] for c in rng.integers(0, 4, 80)) + "\n")
+    sbwt = str(tmp_path / "x.sbwt")
+    pfx = str(tmp_path / "p")
+    assert main(["sbwt-build", "-k", "7", "-i", str(uni), "-o", sbwt]) == 0
+    assert main(["build-fmin", "-o", pfx, "-i", sbwt, "-u", str(uni)]) == 0
+    before = FinimizerIndex.load(pfx)
+    # overwrite the prefix member with the variant-headed standalone file
+    shutil.copy(sbwt, pfx + ".sbwt")
+    idx = FinimizerIndex.load(pfx)
+    assert idx.sbwt.get_k() == 7
+    assert idx.sbwt.number_of_kmers() == before.sbwt.number_of_kmers()

@@ -246,3 +246,24 @@ def test_merged_pairs_flat_rle_vs_oracle(mode):
     np.testing.assert_array_equal(u, u2)
     np.testing.assert_array_equal(p, p2)
     assert (kf, kr) == (kf2, kr2)
+
+
+def test_deferred_verify_overflow_rerun(monkeypatch):
+    """The serving path's deferred capacity check: force a tiny initial
+    slow-path capacity so verify() must re-run, and the corrected
+    output must equal the host oracle (minimizer mode)."""
+    rng = np.random.default_rng(31)
+    k = 6
+    unitigs = gen_dspss(rng, 10, 12, 40, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode="minimizer")
+    # absent-heavy reads maximize slow windows
+    reads = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(12)]
+    monkeypatch.setenv("FINITO_MIN_K0", "1")
+    h = engine.merged_pairs_flat_begin([r.encode() for r in reads])
+    line_lens, u, p, kf, kr = engine.merged_pairs_flat_end(h)
+    monkeypatch.delenv("FINITO_MIN_K0")
+    exp_lens, eu, ep, ekf, ekr = engine.merged_pairs_flat([r.encode() for r in reads])
+    assert np.array_equal(line_lens, exp_lens)
+    assert np.array_equal(u, eu) and np.array_equal(p, ep)
+    assert (kf, kr) == (ekf, ekr)
