@@ -36,6 +36,7 @@ forces the per-window host scan with full multi-occurrence detection.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -56,11 +57,13 @@ def permute_by_first_kmer(records: List[tuple], k: int) -> List[tuple]:
 def build(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="kmer-mapper build", description="Mapping k-mers to unitigs")
     p.add_argument("-u", "--unitigs", required=True, help="Input FASTA or FASTQ file, possibly gzipped")
-    p.add_argument("-t", "--nthreads", type=int, default=1, help="Number of threads (compatibility; unused)")
+    p.add_argument("-t", "--nthreads", type=int, default=1, help="Number of host build threads (native sort kernels)")
     p.add_argument("-o", "--outfile", required=True, help="Output index file")
     p.add_argument("-k", type=int, required=True, help="k-mer length")
     p.add_argument("-m", type=int, default=None, help="minimizer length (default: auto; values above 16 are clamped)")
     args = p.parse_args(argv)
+    if args.nthreads > 1:
+        os.environ.setdefault("FINITO_THREADS", str(args.nthreads))
 
     from finito_tpu.io.fastx import read_all_records
     from finito_tpu.io.seqdb import encode_seq

@@ -33,7 +33,7 @@ _tried = False
 def _compile() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        *_SRCS, "-o", _SO,
+        "-pthread", *_SRCS, "-o", _SO,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)

@@ -18,6 +18,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <cstdlib>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -133,10 +136,36 @@ void fin_radix_argsort(const uint64_t* words, int64_t n, int64_t W,
     // bucket byte itself -- harmless: those bits are constant inside a
     // bucket, and bits above used_bits are unused by contract.
     const int n_digits = (int)((top_lo + 15) / 16);
-    std::vector<uint64_t> scratch((size_t)max_bucket * R);
-    for (int j = 0; j < 256; j++)
-        lsd_radix_records(a + starts[j] * R, scratch.data(), counts[j], R,
-                          n_digits);
+    int n_threads = 1;
+    if (const char* t = std::getenv("FINITO_THREADS")) {
+        n_threads = std::atoi(t);
+        if (n_threads < 1) n_threads = 1;
+        if (n_threads > 64) n_threads = 64;
+    }
+    if (n_threads <= 1 || n <= (1 << 16)) {
+        std::vector<uint64_t> scratch((size_t)max_bucket * R);
+        for (int j = 0; j < 256; j++)
+            lsd_radix_records(a + starts[j] * R, scratch.data(), counts[j], R,
+                              n_digits);
+    } else {
+        // buckets are independent; workers pull the next bucket off an
+        // atomic counter, each with its own scratch. Output layout is
+        // fixed by `starts`, so the result is thread-count-invariant.
+        std::atomic<int> next{0};
+        auto worker = [&]() {
+            std::vector<uint64_t> scratch((size_t)max_bucket * R);
+            for (;;) {
+                const int j = next.fetch_add(1);
+                if (j >= 256) break;
+                lsd_radix_records(a + starts[j] * R, scratch.data(),
+                                  counts[j], R, n_digits);
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t2 = 1; t2 < n_threads; t2++) pool.emplace_back(worker);
+        worker();
+        for (auto& th : pool) th.join();
+    }
 
     for (int64_t i = 0; i < n; i++) idx_out[i] = (int64_t)a[i * R + W];
     if (keys_out) {
