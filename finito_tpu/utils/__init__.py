@@ -41,3 +41,22 @@ def configure_jax_platform():
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def relax_cpu_collective_timeouts(warn_s: int = 600, terminate_s: int = 3600) -> None:
+    """Raise XLA:CPU's collective rendezvous timeouts (default 20s warn /
+    40s TERMINATE-THE-PROCESS). On an oversubscribed host -- N virtual
+    devices sharing few cores -- any shard doing > 40s of local work
+    before an all_to_all/all_gather kills the whole process with
+    "Termination timeout ... exceeded". Must run BEFORE the CPU backend
+    initializes (XLA_FLAGS is read at backend init)."""
+    import os as _os
+
+    flags = _os.environ.get("XLA_FLAGS", "")
+    if "collective_call_terminate_timeout" in flags:
+        return
+    _os.environ["XLA_FLAGS"] = (
+        flags
+        + f" --xla_cpu_collective_call_warn_stuck_timeout_seconds={warn_s}"
+        + f" --xla_cpu_collective_call_terminate_timeout_seconds={terminate_s}"
+    ).strip()

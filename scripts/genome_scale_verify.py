@@ -90,6 +90,9 @@ def main() -> int:
                    help="fraction of reads receiving one point mutation")
     args = p.parse_args()
 
+    from finito_tpu.utils import relax_cpu_collective_timeouts
+
+    relax_cpu_collective_timeouts()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

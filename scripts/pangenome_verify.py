@@ -65,6 +65,9 @@ def main() -> int:
                    "~18%% smaller index at this shape; see README)")
     args = p.parse_args()
 
+    from finito_tpu.utils import relax_cpu_collective_timeouts
+
+    relax_cpu_collective_timeouts()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

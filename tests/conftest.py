@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+from finito_tpu.utils import relax_cpu_collective_timeouts
+relax_cpu_collective_timeouts()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

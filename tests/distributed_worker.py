@@ -24,10 +24,13 @@ def main() -> int:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
     ).strip()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from finito_tpu.utils import relax_cpu_collective_timeouts
+
+    relax_cpu_collective_timeouts()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     from finito_tpu.parallel import distributed as dist
 
