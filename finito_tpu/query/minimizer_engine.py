@@ -7,10 +7,14 @@ make_minimizer_locate (v1, small indexes) -- per (B, W) window batch,
 entirely divergence-free on the fast path:
 
   1. minimizer value+offset per window   -- rolling VPU ops, 0 gathers
-  2. hash-slot descriptor                -- 1 (n, 2)-row gather
-  3. single-occurrence candidate payload -- 1 (n,4)-row gather
-  4. packed-text verification            -- 1 overlapped-row gather
+  2. FUSED slot row (descriptor + the single-occurrence candidate
+     payload in one (n, 4) row)          -- 1 row gather
+  3. packed-text verification            -- 1 overlapped-row gather
                                             (k <= 32; rolling words above)
+
+  (= 2 dependent big-table gathers per window; with slot_rows absent --
+  forced v1 on a genome-scale index -- the narrow-desc fallback splits
+  step 2 into descriptor + payload gathers, the round-2 form.)
 
 make_minimizer_locate_v2 (genome-scale indexes) -- the same pipeline
 with steps 2-3 RUN-DEDUPLICATED (once per minimizer run, ~(k-m+2)/2
@@ -103,6 +107,42 @@ def pack_text_words(concat: np.ndarray, pad_words: int = 2) -> np.ndarray:
     return (by << shifts).sum(axis=1, dtype=np.uint32)
 
 
+def build_slot_rows(mindex: MinimizerIndex) -> np.ndarray:
+    """(2^h + 1, 4) int32 FUSED slot rows: descriptor and single-
+    occurrence payload in one row, so the v1 fast path costs ONE
+    big-table gather instead of two dependent ones (desc -> payload).
+
+    Row encoding, discriminated by column 1:
+      * single-occurrence slot (col1 = uid >= 0): the payload row
+        [gstart, uid, off, uend] embedded directly -- no second gather;
+      * empty slot: col1 = -1;
+      * multi-occurrence slot (col1 = -len <= -2): col0 = start index
+        into occ_rows; the compacted slow path scans [start, start+len).
+
+    2x the descriptor-table memory (16 vs 8 bytes/slot); built only for
+    indexes under the v1 size threshold where the table stays below the
+    v5e gather-rate cliff."""
+    starts = (np.asarray(mindex.desc) >> np.uint64(_DESC_LEN_BITS)).astype(np.int64)
+    lens = np.diff(starts)  # exact per-slot occupancy (2^h,)
+    rows = np.zeros((lens.size + 1, 4), np.int32)
+    rows[:, 1] = -1  # empty
+    single = np.nonzero(lens == 1)[0]
+    idx = starts[single]
+    uid = np.asarray(mindex.occ_uid, np.int32)[idx]
+    rows[single, 0] = np.asarray(mindex.occ_gstart, np.int32)[idx]
+    rows[single, 1] = uid
+    rows[single, 2] = np.asarray(mindex.occ_off, np.int32)[idx]
+    rows[single, 3] = np.asarray(mindex.ends, np.int32)[uid]
+    multi = np.nonzero(lens >= 2)[0]
+    rows[multi, 0] = starts[multi]
+    rows[multi, 1] = -lens[multi]
+    return rows
+
+
+_DESC_LEN_BITS = 6  # must match index.minimizer._LEN_BITS
+_SLOT_ROWS_MAX_DESC_BYTES = 64 << 20  # the engine's v1/v2 switch point
+
+
 def desc_to_rows(desc: np.ndarray) -> np.ndarray:
     """Host packed slot descriptors -> (2^h + 1, 2) int32 rows
     [start, exact_len].
@@ -137,13 +177,15 @@ class DeviceMinimizerIndex:
     2 bits -> 4 bits/base) so any <= 3-word window is one row gather."""
 
     def tree_flatten(self):
-        leaves = (self.desc, self.occ_rows, self.ends, self.text, self.text_rows)
+        leaves = (self.desc, self.occ_rows, self.ends, self.text, self.text_rows,
+                  self.slot_rows)
         return leaves, (self.k, self.m, self.n_occ, self.h)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
-        obj.desc, obj.occ_rows, obj.ends, obj.text, obj.text_rows = leaves
+        (obj.desc, obj.occ_rows, obj.ends, obj.text, obj.text_rows,
+         obj.slot_rows) = leaves
         obj.k, obj.m, obj.n_occ, obj.h = aux
         return obj
 
@@ -159,7 +201,15 @@ class DeviceMinimizerIndex:
         self.m = mindex.m
         self.h = mindex.h
         self.n_occ = int(mindex.occ_key.size)
-        self.desc = jnp.asarray(desc_to_rows(mindex.desc))
+        desc_rows = desc_to_rows(mindex.desc)
+        self.desc = jnp.asarray(desc_rows)
+        # fused slot rows only in the v1 size regime (2x desc memory;
+        # v2's per-head gathers keep the narrow desc at genome scale)
+        self.slot_rows = (
+            jnp.asarray(build_slot_rows(mindex))
+            if desc_rows.nbytes < _SLOT_ROWS_MAX_DESC_BYTES
+            else None
+        )
         self.occ_rows = jnp.asarray(build_occ_rows(mindex))
         self.ends = jnp.asarray(np.asarray(mindex.ends, dtype=np.int32))
         words = pack_text_words(mindex.concat, _n_words(mindex.k) + 5)
@@ -278,19 +328,28 @@ def _check_candidate(dmi: "DeviceMinimizerIndex", idx, o, q_words, masks, k):
 def make_minimizer_locate_v2(
     dmi: DeviceMinimizerIndex, K_slow: int, K_heads: int, count_occurrences: bool = False
 ):
-    """Run-deduplicated locate: big-table gathers once per minimizer RUN.
+    """Run-deduplicated locate: big-table gathers once per minimizer RUN,
+    including the TEXT VERIFICATION.
 
     The minimizer position of sliding windows is NON-DECREASING within a
     read (leftmost-lowest sliding minimum), so consecutive windows
     sharing a minimizer occurrence form contiguous runs of ~(k-m+2)/2
     windows. The slot descriptor and candidate payload depend only on the
     run's minimizer value, so v2 compacts run HEADS (one cumsum gives
-    both the head ordinals and the compaction targets), performs the
-    desc + slot-end + payload gathers per head (~6-8x fewer touches of
-    the index-sized tables, which fall off a measured gather-rate cliff
-    past ~32 MB on v5e: 103 M/s -> 63 M/s), and redistributes through one
-    (K_heads, 8) row gather from a table of a few MB (~230 M rows/s).
-    Per-window text verification is unchanged -- exactness is untouched.
+    both the head ordinals and the compaction targets) and performs the
+    desc + payload gathers per head (~6-8x fewer touches of the
+    index-sized tables, which fall off a measured gather-rate cliff past
+    ~32 MB on v5e: 103 M/s -> 63 M/s).
+
+    Text verification ALSO runs per head (round 3): the run's candidate
+    text span of k + R - 1 bases is gathered once (ceil span words + 1
+    word gathers from the UN-duplicated packed text) and compared against
+    the read span; each window's verdict falls out of the mismatch bitmap
+    under a STATIC per-(t, word) mask -- the same machinery the
+    multi-occurrence slow path uses per candidate. Windows then receive
+    (uid, off0, match-bitmap) through one small-table row gather and
+    decode their own bit: ZERO big-table touches per window. Exactness is
+    untouched (every window's full k-mer is still compared to the text).
 
     Returns (uid, off, n_slow, n_heads); results are valid only when
     n_slow <= K_slow AND n_heads <= K_heads (caller resizes otherwise).
@@ -329,14 +388,6 @@ def make_minimizer_locate_v2(
             best_o = jnp.where(upd, r, best_o)
             bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
 
-        q_words = []
-        for w in range(NW):
-            qw = jnp.zeros((B, W), jnp.uint32)
-            for i in range(16 * w, min(16 * (w + 1), k)):
-                ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
-                qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
-            q_words.append(qw)
-
         # ---- run heads: pm = in-read m-mer position of the minimizer;
         # non-decreasing, so one cumsum yields head ordinals AND the
         # head -> flat-window compaction
@@ -354,6 +405,10 @@ def make_minimizer_locate_v2(
             jnp.arange(BW, dtype=jnp.int32), mode="drop"
         )
 
+        R_run = k - dmi.m + 1  # max windows sharing one minimizer
+        NW_SPAN = (2 * (k + R_run - 1) + 31) // 32 + 1
+        NB = (R_run + 31) // 32  # match-bitmap words per run
+
         # ---- per-head gathers (the only touches of the big tables)
         # NOTE: no bad-masking here -- badness is PER WINDOW and can
         # differ inside a run (a pad char in the head window only); the
@@ -366,35 +421,99 @@ def make_minimizer_locate_v2(
         h_start = d[:, 0]
         h_ln = d[:, 1]  # exact slot length (not saturated)
         row = jnp.take(dmi.occ_rows, jnp.where(h_ln == 1, h_start, 0), axis=0)
+
+        # ---- packed read words (16 chars/word, LSB-first) + per-HEAD
+        # read span words: the k + R - 1 chars starting at the head
+        # window's first char, shared by the run-level fast verify and
+        # the multi-occurrence slow path
+        NL = (L + 15) // 16 + NW_SPAN + 1
+        cp = jnp.pad(c & jnp.uint32(3), ((0, 0), (0, NL * 16 - L)))
+        rw = (
+            cp.reshape(B, NL, 16)
+            << (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        ).sum(axis=2, dtype=jnp.uint32).reshape(-1)
+        hb_of = head_pos // W
+        hw0c = head_pos - hb_of * W  # span starts at the run's first window char
+        hrbase = hb_of * NL + (hw0c >> 4)
+        hrsh = (2 * (hw0c & 15)).astype(jnp.uint32)
+        hrnz = hrsh > 0
+        hrinv = jnp.where(hrnz, jnp.uint32(32) - hrsh, jnp.uint32(0))
+        span_read_h = []
+        prev_r = jnp.take(rw, hrbase)
+        for iw in range(NW_SPAN):
+            cur_r = jnp.take(rw, hrbase + iw + 1)
+            span_read_h.append(
+                (prev_r >> hrsh) | jnp.where(hrnz, cur_r << hrinv, jnp.uint32(0))
+            )
+            prev_r = cur_r
+        o_h_all = jnp.take(best_o.reshape(-1), head_pos)
+
+        # static masks: chars [t, t+k) of the span, mismatch bits at even
+        # positions (char j -> bit 2j of word (2j)>>5)
+        masks_np = np.zeros((R_run, NW_SPAN), np.uint32)
+        for t in range(R_run):
+            for j in range(t, t + k):
+                masks_np[t, (2 * j) >> 5] |= np.uint32(1 << ((2 * j) & 31))
+        MASKS = jnp.asarray(masks_np)  # (R_run, NW_SPAN), tiny constant
+        t_idx = jnp.arange(R_run, dtype=jnp.int32)[None, :]
+
+        # ---- run-level FAST verify (single-occurrence heads): compare
+        # the candidate text span against the read span once per head;
+        # window t's verdict = zero mismatch bits under MASKS[t]
+        g_m_h, uid_h, off_m_h, uend_h = row[:, 0], row[:, 1], row[:, 2], row[:, 3]
+        g0_h = g_m_h - o_h_all
+        off0_h = off_m_h - o_h_all
+        g2h = g0_h * 2
+        htw0 = g2h >> 5  # arithmetic shift = floor (g0 may be negative)
+        htsh = (g2h & 31).astype(jnp.uint32)
+        htnz = htsh > 0
+        htinv = jnp.where(htnz, jnp.uint32(32) - htsh, jnp.uint32(0))
+        cnt_h = jnp.zeros((K_heads, R_run), jnp.int32)
+        prev_t = jnp.take(dmi.text, jnp.maximum(htw0, 0))
+        for iw in range(NW_SPAN):
+            cur_t = jnp.take(dmi.text, jnp.maximum(htw0 + iw + 1, 0))
+            tw = (prev_t >> htsh) | jnp.where(htnz, cur_t << htinv, jnp.uint32(0))
+            x = tw ^ span_read_h[iw]
+            mm = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+            cnt_h = cnt_h + lax.population_count(
+                mm[:, None] & MASKS[None, :, iw]
+            ).astype(jnp.int32)
+            prev_t = cur_t
+        vt_h = (off0_h[:, None] + t_idx >= 0) & (
+            g0_h[:, None] + t_idx + k <= uend_h[:, None]
+        )
+        match_h = (h_ln == 1)[:, None] & vt_h & (cnt_h == 0)  # (K_heads, R_run)
+        mb = []  # bitmap words: bit t of word t>>5
+        for wdi in range(NB):
+            ts = slice(32 * wdi, min(32 * (wdi + 1), R_run))
+            bitw = (
+                match_h[:, ts].astype(jnp.uint32)
+                << jnp.arange(ts.stop - ts.start, dtype=jnp.uint32)[None, :]
+            ).sum(axis=1, dtype=jnp.uint32).astype(jnp.int32)
+            mb.append(bitw)
         head_table = jnp.stack(
-            [h_start, h_ln, row[:, 0], row[:, 1], row[:, 2], row[:, 3]],
-            axis=1,
-        )  # (K_heads, 6) int32, a few MB -- fast to gather from
+            [h_ln, uid_h, off0_h, head_pos, *mb], axis=1
+        )  # (K_heads, 4 + NB) int32, a few MB -- fast to gather from
 
-        # ---- redistribute to windows: one small-table row gather
+        # ---- redistribute to windows: one small-table row gather; each
+        # window decodes its own bit -- no big-table touch per window
         wrow = jnp.take(head_table, jnp.minimum(ord_flat, K_heads - 1), axis=0)
-        ln = jnp.where(bad, 0, wrow[:, 1].reshape(B, W))
-        g_m = wrow[:, 2].reshape(B, W)
-        uid_m = wrow[:, 3].reshape(B, W)
-        off_m = wrow[:, 4].reshape(B, W)
-        uend = wrow[:, 5].reshape(B, W)
-
-        # ---- fast path: candidate payload already in hand, text-verify
-        fast = ln == 1
-        g_w = g_m - best_o
-        off_w = off_m - best_o
-        ok = fast & (off_w >= 0) & (g_w + k <= uend)
-        g_safe = jnp.maximum(g_w, 0)
-        if dmi.text_rows is not None and k <= 32:
-            match = ok & _match_text_kmer_rows(dmi.text_rows, g_safe, q_words, masks)
-        elif dmi.text_rows is not None:
-            match = ok & _match_text_kmer_rows8(dmi.text_rows, g_safe, q_words, masks)
-        else:
-            match = ok & _match_text_kmer(dmi.text, g_safe, q_words, masks, k)
-        found_f = match
+        ln = jnp.where(bad, 0, wrow[:, 0].reshape(B, W))
+        uid_w = wrow[:, 1].reshape(B, W)
+        off0_w = wrow[:, 2].reshape(B, W)
+        t_w = jnp.clip(
+            jnp.arange(BW, dtype=jnp.int32) - wrow[:, 3], 0, R_run - 1
+        ).reshape(B, W)
+        mbits = wrow[:, 4]
+        for wdi in range(1, NB):
+            mbits = jnp.where((t_w.reshape(-1) >> 5) == wdi, wrow[:, 4 + wdi], mbits)
+        bit = (
+            mbits.astype(jnp.uint32) >> (t_w.reshape(-1) & 31).astype(jnp.uint32)
+        ).astype(jnp.int32).reshape(B, W)
+        found_f = (ln == 1) & ((bit & 1) == 1)
         neg = jnp.int32(-1)
-        uid = jnp.where(found_f, uid_m, neg)
-        off = jnp.where(found_f, off_w, neg)
+        uid = jnp.where(found_f, uid_w, neg)
+        off = jnp.where(found_f, off0_w + t_w, neg)
 
         # ---- slow path, RUN-LEVEL: slow-ness is a property of the RUN
         # (its minimizer's slot), so slow runs are compacted on the HEAD
@@ -402,9 +521,6 @@ def make_minimizer_locate_v2(
         # compaction), and each candidate occurrence is verified against
         # the run's whole text span at once -- per-window matches fall
         # out of a mismatch bitmap with STATIC per-(t, word) masks.
-        R_run = k - dmi.m + 1  # max windows sharing one minimizer
-        NW_SPAN = (2 * (k + R_run - 1) + 31) // 32 + 1
-
         valid_h = jnp.arange(K_heads, dtype=jnp.int32) < n_heads
         sh_idx, n_slow = compact_mask(valid_h & (h_ln >= 2), K_slow)
         sh_valid = sh_idx >= 0
@@ -417,39 +533,9 @@ def make_minimizer_locate_v2(
         r_len = jnp.clip(
             jnp.where(sj + 1 < n_heads, nxt, jnp.int32(BW)) - f0, 0, R_run
         )
-        o_h = jnp.take(best_o.reshape(-1), f0)  # head window's minimizer offset
+        o_h = jnp.take(o_h_all, sj)  # head window's minimizer offset
+        span_read = [jnp.take(srw, sj) for srw in span_read_h]
 
-        # packed read words (16 chars/word, LSB-first), shared by all runs
-        NL = (L + 15) // 16 + NW_SPAN + 1
-        cp = jnp.pad(c & jnp.uint32(3), ((0, 0), (0, NL * 16 - L)))
-        rw = (
-            cp.reshape(B, NL, 16)
-            << (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
-        ).sum(axis=2, dtype=jnp.uint32).reshape(-1)
-        b_of = f0 // W
-        w0c = f0 - b_of * W  # span starts at the run's first window char
-        rbase = b_of * NL + (w0c >> 4)
-        rsh = (2 * (w0c & 15)).astype(jnp.uint32)
-        rnz = rsh > 0
-        rinv = jnp.where(rnz, jnp.uint32(32) - rsh, jnp.uint32(0))
-        span_read = []
-        prev_r = jnp.take(rw, rbase)
-        for iw in range(NW_SPAN):
-            cur_r = jnp.take(rw, rbase + iw + 1)
-            span_read.append(
-                (prev_r >> rsh) | jnp.where(rnz, cur_r << rinv, jnp.uint32(0))
-            )
-            prev_r = cur_r
-
-        # static masks: chars [t, t+k) of the span, mismatch bits at even
-        # positions (char j -> bit 2j of word (2j)>>5)
-        masks_np = np.zeros((R_run, NW_SPAN), np.uint32)
-        for t in range(R_run):
-            for j in range(t, t + k):
-                masks_np[t, (2 * j) >> 5] |= np.uint32(1 << ((2 * j) & 31))
-        MASKS = jnp.asarray(masks_np)  # (R_run, NW_SPAN), tiny constant
-
-        t_idx = jnp.arange(R_run, dtype=jnp.int32)[None, :]
         base_live = sh_valid[:, None] & (t_idx < r_len[:, None])
 
         def cond(st):
@@ -597,21 +683,45 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
                 qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
             q_words.append(qw)
 
-        # --- slot descriptor (1 gather): slot = slot32(v) >> (32-h); hash
-        # collisions are harmless (the text compare is the arbiter)
+        # --- slot lookup: slot = slot32(v) >> (32-h); hash collisions
+        # are harmless (the text compare is the arbiter)
         slot = (slot32_device(best_v) >> jnp.uint32(32 - dmi.h)).astype(jnp.int32)
-        d = jnp.take(dmi.desc, jnp.where(bad, 0, slot), axis=0)  # (B, W, 2)
-        start = d[..., 0]
-        ln = jnp.where(bad, 0, d[..., 1])  # exact slot length
-
-        # --- fast path: single-occurrence slots (1 + NW+1 gathers)
-        fast = ln == 1
-        idx = jnp.where(fast, start, 0)
-        match, uid_f, off_f = _check_candidate(dmi, idx, best_o, q_words, masks, k)
-        found_f = fast & match
         neg = jnp.int32(-1)
-        uid = jnp.where(found_f, uid_f, neg)
-        off = jnp.where(found_f, off_f, neg)
+        if dmi.slot_rows is not None:
+            # --- FUSED slot row (1 gather): the single-occurrence
+            # payload is embedded in the row, so the fast path is just
+            # this gather + the text verification -- 2 dependent big-
+            # table gathers per window instead of 3
+            srow = jnp.take(dmi.slot_rows, jnp.where(bad, 0, slot), axis=0)  # (B, W, 4)
+            code = srow[..., 1]
+            single = (code >= 0) & ~bad
+            ln = jnp.where(bad | (code == neg), 0, jnp.where(single, 1, -code))
+            start = srow[..., 0]  # slow path: occ_rows start of multi slots
+            g_w = srow[..., 0] - best_o
+            off_w = srow[..., 2] - best_o
+            ok = single & (off_w >= 0) & (g_w + k <= srow[..., 3])
+            g_safe = jnp.maximum(g_w, 0)
+            if dmi.text_rows is not None and k <= 32:
+                match = ok & _match_text_kmer_rows(dmi.text_rows, g_safe, q_words, masks)
+            elif dmi.text_rows is not None:
+                match = ok & _match_text_kmer_rows8(dmi.text_rows, g_safe, q_words, masks)
+            else:
+                match = ok & _match_text_kmer(dmi.text, g_safe, q_words, masks, k)
+            found_f = match
+            uid = jnp.where(found_f, code, neg)
+            off = jnp.where(found_f, off_w, neg)
+        else:
+            # --- narrow descriptor (big indexes / forced v1): desc row
+            # gather, then the payload row gather inside _check_candidate
+            d = jnp.take(dmi.desc, jnp.where(bad, 0, slot), axis=0)  # (B, W, 2)
+            start = d[..., 0]
+            ln = jnp.where(bad, 0, d[..., 1])  # exact slot length
+            fast = ln == 1
+            idx = jnp.where(fast, start, 0)
+            match, uid_f, off_f = _check_candidate(dmi, idx, best_o, q_words, masks, k)
+            found_f = fast & match
+            uid = jnp.where(found_f, uid_f, neg)
+            off = jnp.where(found_f, off_f, neg)
 
         # --- slow path: multi-occurrence slots, compacted; exact slot
         # lengths bound the scan (no key gathers -- a wrong-value

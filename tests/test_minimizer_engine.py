@@ -279,3 +279,96 @@ def test_desc_to_rows_uint64_exact():
     np.testing.assert_array_equal(rows[:, 0].astype(np.int64), starts)
     np.testing.assert_array_equal(rows[:-1, 1].astype(np.int64), counts)
     assert rows[-1, 1] == 0
+
+
+def test_fused_slot_rows_vs_narrow_desc():
+    """The fused slot-row fast path (v1 default under the size threshold)
+    and the narrow-desc + payload-gather fallback must produce identical
+    answers, including multi-occurrence slots (small m forces them) and
+    invalid/padded windows."""
+    rng = np.random.default_rng(99)
+    k = 9
+    unitigs = gen_dspss(rng, 10, 14, 70, k)
+    permuted = _permuted_unitigs(unitigs, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in permuted])
+    ends = np.cumsum([len(u) for u in permuted])
+    mi = MinimizerIndex.build(concat, ends, k, m=4)  # tiny m -> multi slots
+    dmi = DeviceMinimizerIndex(mi)
+    assert dmi.slot_rows is not None
+
+    # reads: genuine windows, mutations, pad (255) tails, and an N
+    B, L = 24, 48
+    reads = np.full((B, L), 255, dtype=np.uint8)
+    for b in range(B):
+        u = permuted[int(rng.integers(len(permuted)))]
+        a = int(rng.integers(0, max(1, len(u) - L)))
+        s = encode_seq(u[a : a + L].encode())
+        reads[b, : s.size] = s
+    reads[3, 10] = 255  # mid-read invalid char
+    reads[5] = rng.integers(0, 4, size=L)  # random (mostly absent)
+
+    uid_f, off_f, _ = make_minimizer_locate(dmi, 4096)(reads)
+
+    dmi_narrow = DeviceMinimizerIndex(mi)
+    dmi_narrow.slot_rows = None
+    uid_n, off_n, _ = make_minimizer_locate(dmi_narrow, 4096)(reads)
+
+    np.testing.assert_array_equal(np.asarray(uid_f), np.asarray(uid_n))
+    np.testing.assert_array_equal(np.asarray(off_f), np.asarray(off_n))
+
+    # and both against the host oracle
+    truth = brute_force_occurrences(permuted, k)
+    uid_f, off_f = np.asarray(uid_f), np.asarray(off_f)
+    for b in range(B):
+        s_str = "".join("ACGT"[c] if c < 4 else "N" for c in reads[b])
+        for w in range(L - k + 1):
+            want = truth.get(s_str[w : w + k], (-1, -1))
+            assert (int(uid_f[b, w]), int(off_f[b, w])) == want, (b, w)
+
+
+@pytest.mark.parametrize("k,m", [(31, 16), (63, 16), (18, 4)])
+def test_v2_run_level_verify_vs_v1(k, m):
+    """The v2 run-level span verification (fast heads verified once per
+    run, windows decode their bit from the redistributed bitmap) must
+    equal v1 per-window verification exactly -- including k > 47 (two
+    bitmap words per run), tiny m (multi-occurrence slow runs), mutated
+    reads, mid-read invalid chars, and pad tails."""
+    from finito_tpu.query.minimizer_engine import make_minimizer_locate_v2
+
+    rng = np.random.default_rng(1000 + k + m)
+    unitigs = gen_dspss(rng, 8, k + 6, k + 90, k)
+    permuted = _permuted_unitigs(unitigs, k)
+    concat = np.concatenate([encode_seq(u.encode()) for u in permuted])
+    ends = np.cumsum([len(u) for u in permuted])
+    mi = MinimizerIndex.build(concat, ends, k, m=m)
+    dmi = DeviceMinimizerIndex(mi)
+
+    B, L = 16, 2 * k + 34
+    reads = np.full((B, L), 255, dtype=np.uint8)
+    for b in range(B):
+        u = permuted[int(rng.integers(len(permuted)))]
+        a = int(rng.integers(0, max(1, len(u) - L)))
+        s = encode_seq(u[a : a + L].encode())
+        reads[b, : s.size] = s
+    # mutations (absent windows), one invalid char, one all-random read
+    for _ in range(20):
+        b, j = int(rng.integers(B)), int(rng.integers(L))
+        if reads[b, j] <= 3:
+            reads[b, j] = (reads[b, j] + 1) % 4
+    reads[2, L // 2] = 255
+    reads[4] = rng.integers(0, 4, size=L)
+
+    uid2, off2, n_slow, n_heads = make_minimizer_locate_v2(dmi, 4096, 4096)(reads)
+    assert int(n_slow) <= 4096 and int(n_heads) <= 4096
+    uid1, off1, _ = make_minimizer_locate(dmi, 4096)(reads)
+    np.testing.assert_array_equal(np.asarray(uid2), np.asarray(uid1))
+    np.testing.assert_array_equal(np.asarray(off2), np.asarray(off1))
+
+    # and against the brute-force table on a few reads
+    truth = brute_force_occurrences(permuted, k)
+    uid2, off2 = np.asarray(uid2), np.asarray(off2)
+    for b in range(0, B, 3):
+        s_str = "".join("ACGT"[c] if c < 4 else "N" for c in reads[b])
+        for w in range(L - k + 1):
+            want = truth.get(s_str[w : w + k], (-1, -1))
+            assert (int(uid2[b, w]), int(off2[b, w])) == want, (b, w)
