@@ -190,7 +190,7 @@ class DeviceQueryEngine:
             k = self.k
             stream_cache = {}
 
-            eff_chunk = self.chunk if self.chunk is not None else max(2 * k, 48)
+            eff_chunk = self.chunk if self.chunk is not None else max((3 * k) // 2, 48)  # measured v5e knee (see replica.py)
 
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
@@ -449,7 +449,7 @@ class DeviceQueryEngine:
             from finito_tpu.ops.streaming import make_chain_stream_ranks
 
             K = max(1024, int(batch * W * unknown_frac))
-            eff_chunk = self.chunk if self.chunk is not None else max(2 * k, 48)
+            eff_chunk = self.chunk if self.chunk is not None else max((3 * k) // 2, 48)  # measured v5e knee (see replica.py)
             ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
 
             def _pipe(tab, C, ck, lt, codes):
