@@ -20,3 +20,13 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 from finito_tpu.version import __version__
 
 __all__ = ["__version__"]
+
+# Applied at import so EVERY consumer (CLI, tests, library users) gets
+# the warm-heap allocator behavior, not just callers that remember to
+# opt in: on this project's microVM hosts, first-touch page faults run
+# at ~10-160 ms/MB and glibc's default mmap threshold re-faults every
+# large numpy temporary (measured 75 s -> 2.7 s for a 16 Mbp index
+# load). Safe no-op where glibc is absent.
+from finito_tpu.utils import tune_host_allocator as _tune_host_allocator
+
+_tune_host_allocator()

@@ -37,7 +37,8 @@ class QueryResult:
 
 class FinimizerIndex:
     sbwt: PlainMatrixSBWT
-    LCS: np.ndarray  # int64 values
+    LCS: np.ndarray  # integer values < k (int64 from the builder; loaded
+    # as int32 -- consumers upcast in numpy arithmetic)
     lcs_width: int
     unitigs: PackedStrings
     fmin: np.ndarray  # uint8 0/1, length n_nodes
@@ -201,18 +202,24 @@ class FinimizerIndex:
     @staticmethod
     def load(index_prefix: str) -> "FinimizerIndex":
         index = FinimizerIndex()
-        lcs = sdsl.load_int_vector(index_prefix + ".LCS.sdsl")
-        index.LCS = lcs.values.astype(np.int64)
+        # Narrow load dtypes: on the microVM hosts first-touch page
+        # faults dominate load time, so every resident vector decodes
+        # straight into the narrowest dtype that holds its width (LCS
+        # values < k <= 255; all consumers upcast in numpy arithmetic).
+        lcs = sdsl.load_int_vector(index_prefix + ".LCS.sdsl", dtype=np.int32)
+        index.LCS = lcs.values
         index.lcs_width = lcs.width
         index.fmin = sdsl.load_bit_vector(index_prefix + ".FBV.sdsl")
         offs = sdsl.load_int_vector(index_prefix + ".O.sdsl")
+        if offs.width <= 32:  # width known only after decode; re-narrow
+            offs.values = offs.values.astype(np.uint32)
         index.global_offsets = offs.values
         index.offsets_width = offs.width
-        concat = sdsl.load_int_vector(index_prefix + ".packed_unitigs.sdsl", template_width=2)
-        ends = sdsl.load_int_vector(index_prefix + ".unitig_endpoints.sdsl")
-        index.unitigs = PackedStrings(
-            concat=concat.values.astype(np.uint8), ends=ends.values.astype(np.int64)
+        concat = sdsl.load_int_vector(
+            index_prefix + ".packed_unitigs.sdsl", template_width=2, dtype=np.uint8
         )
+        ends = sdsl.load_int_vector(index_prefix + ".unitig_endpoints.sdsl", dtype=np.int64)
+        index.unitigs = PackedStrings(concat=concat.values, ends=ends.values)
         index.Ustart = sdsl.load_bit_vector(index_prefix + ".Ustart.sdsl")
         index.sbwt = FinimizerIndex.load_sbwt_member(index_prefix + ".sbwt")
         index.rebuild_rank_supports()

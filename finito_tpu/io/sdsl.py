@@ -69,7 +69,11 @@ def write_int_vector_stream(f: BinaryIO, values: np.ndarray, width: int, templat
     return written + words.size * 8
 
 
-def read_int_vector_stream(f: BinaryIO, template_width: int = 0) -> IntVector:
+def read_int_vector_stream(f: BinaryIO, template_width: int = 0, dtype=None) -> IntVector:
+    """dtype narrows the decoded values array (it must hold width-bit
+    values; see utils.bits.unpack_values) -- callers that keep a
+    genome-scale vector resident pass e.g. int32 to avoid touching 8
+    bytes/element on load."""
     (m_size,) = struct.unpack("<Q", f.read(8))
     if template_width == 0:
         (width,) = struct.unpack("<B", f.read(1))
@@ -81,7 +85,7 @@ def read_int_vector_stream(f: BinaryIO, template_width: int = 0) -> IntVector:
         raise IOError("truncated sdsl int_vector")
     words = np.frombuffer(raw, dtype=np.uint64)
     n = m_size // width if width else 0
-    return IntVector(values=unpack_values(words, n, width), width=width)
+    return IntVector(values=unpack_values(words, n, width, dtype=dtype), width=width)
 
 
 def save_int_vector(path_or_file: PathOrFile, values: np.ndarray, width: int, template_width: int = 0) -> int:
@@ -93,10 +97,10 @@ def save_int_vector(path_or_file: PathOrFile, values: np.ndarray, width: int, te
             f.close()
 
 
-def load_int_vector(path_or_file: PathOrFile, template_width: int = 0) -> IntVector:
+def load_int_vector(path_or_file: PathOrFile, template_width: int = 0, dtype=None) -> IntVector:
     f, close = _open(path_or_file, "rb")
     try:
-        return read_int_vector_stream(f, template_width)
+        return read_int_vector_stream(f, template_width, dtype=dtype)
     finally:
         if close:
             f.close()
@@ -112,12 +116,20 @@ def write_bit_vector_stream(f: BinaryIO, bits: np.ndarray) -> int:
 
 
 def read_bit_vector_stream(f: BinaryIO) -> np.ndarray:
+    words, m_size = read_bit_vector_words_stream(f)
+    return unpack_bits(words, m_size)
+
+
+def read_bit_vector_words_stream(f: BinaryIO):
+    """(packed uint64 words, bit length) without expanding to a byte per
+    bit -- for consumers whose working form is the packed words (the
+    SBWT loader feeds these straight into its rank layout)."""
     (m_size,) = struct.unpack("<Q", f.read(8))
     n_words = (m_size + 63) // 64
     raw = f.read(n_words * 8)
     if len(raw) != n_words * 8:
         raise IOError("truncated sdsl bit_vector")
-    return unpack_bits(np.frombuffer(raw, dtype=np.uint64), m_size)
+    return np.frombuffer(raw, dtype=np.uint64), m_size
 
 
 def save_bit_vector(path_or_file: PathOrFile, bits: np.ndarray) -> int:

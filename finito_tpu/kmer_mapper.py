@@ -125,12 +125,13 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
     )
     cache = {}
 
+    from finito_tpu.query.minimizer_engine import grow_capacities, initial_capacities
+
     def locate_batch(codes: np.ndarray):
         B, L = codes.shape
         W = L - k + 1
-        # v2's K bounds slow RUNS (~windows / run-length fewer)
-        K = max(256, (B * W) // (128 if use_v2 else 16))
-        KH = max(1024, (B * W) // 6)
+        # 2x the engine's slow headroom: counting scans slots to the end
+        K, KH = initial_capacities(B * W, use_v2, slow_divisor=128 if use_v2 else 16)
         while True:
             key = (K, KH, B, L)
             if key not in cache:
@@ -145,12 +146,10 @@ def _device_locate(index: MinimizerIndex, reads: List[bytes], rc: bool):
             else:
                 uid, off, n_slow, cnt = out
                 n_heads = 0
-            if int(n_slow) <= K and int(n_heads) <= KH:
+            grown = grow_capacities(K, KH, int(n_slow), int(n_heads), B * W)
+            if grown is None:
                 return np.asarray(uid), np.asarray(off), np.asarray(cnt)
-            if int(n_slow) > K:
-                K = min(B * W, K * 4)
-            if int(n_heads) > KH:
-                KH = min(B * W, max(KH * 2, int(n_heads)))
+            K, KH = grown
 
     answers = []
     batch_idx, batch_codes = [], []

@@ -22,6 +22,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_HERE, "fastx_native.cpp"),
     os.path.join(_HERE, "sort_native.cpp"),
+    os.path.join(_HERE, "bits_native.cpp"),
 ]
 _SO = os.path.join(_HERE, "libfinito_native.so")
 
@@ -100,6 +101,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fin_simplitigs.restype = None
         lib.fin_simplitigs.argtypes = [u64p, i64, i64, i64, u8p, u8p,
                                        ctypes.c_int, u8p, i64p, i64p, i64p]
+        lib.fin_pack_values.restype = None
+        lib.fin_pack_values.argtypes = [u64p, i64, i64, u64p]
+        lib.fin_unpack_values.restype = None
+        lib.fin_unpack_values.argtypes = [u64p, i64, i64, i64, ctypes.c_void_p]
+        lib.fin_desc_to_rows.restype = None
+        lib.fin_desc_to_rows.argtypes = [ctypes.c_void_p, i64, i64, i64, i32p]
         _lib = lib
         return _lib
 
@@ -403,3 +410,63 @@ def simplitigs(keys_sorted, k: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i64p(ends),
         _i64p(total), _i64p(walks))
     return out, ends
+
+
+# ------------------------------------------------------------------ bits
+
+
+def pack_values_native(values, width: int):
+    """sdsl-layout bit pack (LSB-first u64 stream); None -> Python path."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    n = int(values.size)
+    n_words = (n * width + 63) // 64
+    out = np.empty(n_words, np.uint64)
+    lib.fin_pack_values(_u64p(values), n, width, _u64p(out))
+    return out
+
+
+def unpack_values_native(words, n: int, width: int, dtype=None):
+    """Inverse of pack_values_native; None -> Python path. dtype (default
+    uint64) selects the output element type; its bit size must cover
+    width (the sign bit of signed dtypes included: values < 2^width are
+    stored as-is, so width <= 8*itemsize-1 for signed)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
+    bits = 8 * dt.itemsize - (1 if dt.kind == "i" else 0)
+    if dt.kind not in ("u", "i") or width > bits:
+        raise ValueError(f"dtype {dt} cannot hold width-{width} values")
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    out = np.empty(n, dt)
+    lib.fin_unpack_values(
+        _u64p(words), n, width, dt.itemsize, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    return out
+
+
+def desc_to_rows_native(desc, len_bits: int):
+    """Minimizer slot descriptors -> (n, 2) int32 [start, exact_len]
+    rows in one pass; None -> Python path."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    desc = np.ascontiguousarray(desc)
+    if desc.dtype not in (np.dtype(np.uint32), np.dtype(np.uint64)):
+        return None
+    n = int(desc.size)
+    out = np.empty((n, 2), np.int32)
+    lib.fin_desc_to_rows(
+        desc.ctypes.data_as(ctypes.c_void_p), n, desc.dtype.itemsize, len_bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

@@ -71,6 +71,20 @@ def compact_mask(mask, K: int):
     return out, n
 
 
+def auto_chunk(k: int) -> int:
+    """Default chain-scan chunk length for a given k.
+
+    Measured on v5e at k=31, L=128, B=8192: chunk 36 -> 3.25 M q/s,
+    44/48 -> 4.13 M, 62 -> 3.72 M; the knee sits near max(1.5k, 48),
+    where the extra overlapped-gather volume starts to cost more than
+    the shorter sequential scan saves. Only the k=31 point is measured;
+    the 1.5k scaling term is an extrapolation (the floor 48, not the
+    1.5k term, is what the measurement pinned -- 3*31//2 = 46 clamps
+    to 48). Shared by the stream and replica engines so a retune
+    happens in exactly one place."""
+    return max((3 * k) // 2, 48)
+
+
 def n_chunks(L: int, k: int, C: int) -> int:
     """Chunks of length C with k-1 overlap covering a length-L read."""
     S = C - k + 1

@@ -384,14 +384,13 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         _match_text_kmer_rows,
         _match_text_kmer_rows8,
         _word_masks,
-        mix32_device,
+        minimizer_scan,
+        pack_query_windows,
         slot32_device,
     )
 
     k, m, hbits = sh.k, sh.m, sh.h
-    R = k - m + 1
     masks = _word_masks(k)
-    NW = len(masks)
 
     def locate(desc, occ_rows, n_occ, text_arr, uid_base, codes):
         desc = desc[0]
@@ -403,34 +402,8 @@ def sharded_minimizer_locate_fn(mesh: Mesh, sh: ShardedMinimizerIndex, K_slow: i
         B, L = codes.shape
         W = L - k + 1
         c = codes.astype(jnp.uint32)
-        nm = L - m + 1
-        mv = jnp.zeros((B, nm), jnp.uint32)
-        bad_m = jnp.zeros((B, nm), jnp.bool_)
-        for i in range(m):
-            ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
-            mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
-            bad_m = bad_m | (ci > 3)
-        hv = mix32_device(mv)
-        best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
-        best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
-        best_o = jnp.zeros((B, W), jnp.int32)
-        bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
-        for r in range(1, R):
-            cv = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
-            ch = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
-            upd = ch < best_h
-            best_v = jnp.where(upd, cv, best_v)
-            best_h = jnp.where(upd, ch, best_h)
-            best_o = jnp.where(upd, r, best_o)
-            bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
-
-        q_words = []
-        for w in range(NW):
-            qw = jnp.zeros((B, W), jnp.uint32)
-            for i in range(16 * w, min(16 * (w + 1), k)):
-                ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
-                qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
-            q_words.append(qw)
+        best_v, best_o, bad = minimizer_scan(c, k, m)
+        q_words = pack_query_windows(c, k)
 
         # shard-local slot lookup: no ownership test -- a window whose
         # k-mer lives elsewhere simply fails this shard's text verify

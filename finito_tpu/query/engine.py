@@ -172,7 +172,7 @@ class DeviceQueryEngine:
                 build_contract_k_table,
                 build_rank24_tables,
             )
-            from finito_tpu.ops.streaming import make_chain_stream_ranks
+            from finito_tpu.ops.streaming import auto_chunk, make_chain_stream_ranks
 
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
@@ -190,7 +190,7 @@ class DeviceQueryEngine:
             k = self.k
             stream_cache = {}
 
-            eff_chunk = self.chunk if self.chunk is not None else max((3 * k) // 2, 48)  # measured v5e knee (see replica.py)
+            eff_chunk = self.chunk if self.chunk is not None else auto_chunk(k)
 
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
@@ -331,13 +331,14 @@ class DeviceQueryEngine:
                 corrected (uid_dev, off_dev) (else None). Lets the
                 serving path double-buffer without a device sync inside
                 the dispatch half."""
+                from finito_tpu.query.minimizer_engine import (
+                    grow_capacities,
+                    initial_capacities,
+                )
+
                 B, L = codes.shape
                 W = L - self.k + 1
-                # v2's K bounds slow RUNS (~windows / run-length fewer)
-                K, KH = mini_sizes.get((B, W)) or (
-                    max(256, (B * W) // (256 if use_v2 else 32)),
-                    max(1024, (B * W) // 6),
-                )
+                K, KH = mini_sizes.get((B, W)) or initial_capacities(B * W, use_v2)
                 k0 = int(_os.environ.get("FINITO_MIN_K0", "0"))
                 if k0 > 0:  # tests: force the overflow/verify path
                     K, KH = k0, max(k0, 4)
@@ -349,15 +350,11 @@ class DeviceQueryEngine:
                     while True:
                         n_slow = int(out[2])
                         n_heads = int(out[3]) if use_v2 else 0
-                        if n_slow <= K and n_heads <= KH:
+                        grown = grow_capacities(K, KH, n_slow, n_heads, B * W)
+                        if grown is None:
                             mini_sizes[(B, W)] = (K, KH)
                             return None if out is first else (out[0], out[1])
-                        if K >= B * W and KH >= B * W:
-                            raise AssertionError("slow-path overflow at K == B*W")
-                        if n_slow > K:
-                            K = min(B * W, K * 4)
-                        if n_heads > KH:
-                            KH = min(B * W, max(KH * 2, n_heads))
+                        K, KH = grown
                         out = _mini_dispatch(codes, K, KH)
 
                 return first[0], first[1], verify
@@ -446,10 +443,10 @@ class DeviceQueryEngine:
             pipe.K = batch * W
             return pipe
         if self.mode == "stream":
-            from finito_tpu.ops.streaming import make_chain_stream_ranks
+            from finito_tpu.ops.streaming import auto_chunk, make_chain_stream_ranks
 
             K = max(1024, int(batch * W * unknown_frac))
-            eff_chunk = self.chunk if self.chunk is not None else max((3 * k) // 2, 48)  # measured v5e knee (see replica.py)
+            eff_chunk = self.chunk if self.chunk is not None else auto_chunk(k)
             ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
 
             def _pipe(tab, C, ck, lt, codes):

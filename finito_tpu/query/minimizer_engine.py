@@ -59,6 +59,93 @@ def slot32_device(v):
     return (v * jnp.uint32(int(_MIX2))) ^ (v >> jnp.uint32(13))
 
 
+def minimizer_scan(c, k: int, m: int):
+    """Shared leftmost-lowest minimizer selection over all windows of a
+    batch: (B, L) uint32 codes -> (best_v, best_o, bad), each (B, W):
+    the window's minimizer VALUE (2-bit packed, first char most
+    significant), its offset within the window, and whether ANY char of
+    the window is non-ACGT (pad/invalid chars have code > 3; their
+    masked 2-bit residue may participate in mv, so a bad window's value
+    is meaningless and the caller must mask downstream use -- the one
+    place this rule lives, shared by the v1/v2 engines and the mesh
+    locate so their bad-masking cannot drift).
+
+    Selection order is mix32(value) ("random minimizers"), strict < so
+    ties keep the leftmost -- identical to the host build
+    (index.minimizer.build). Zero gathers: rolling packs + R-1
+    vectorized compare passes, all VPU work."""
+    B, L = c.shape
+    W = L - k + 1
+    R = k - m + 1
+    nm = L - m + 1
+    mv = jnp.zeros((B, nm), jnp.uint32)
+    bad_m = jnp.zeros((B, nm), jnp.bool_)
+    for i in range(m):
+        ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
+        mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
+        bad_m = bad_m | (ci > 3)
+    hv = mix32_device(mv)
+    best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
+    best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
+    best_o = jnp.zeros((B, W), jnp.int32)
+    bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
+    for r in range(1, R):
+        cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
+        cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
+        upd = cand_h < best_h  # strict: keeps the leftmost minimum
+        best_v = jnp.where(upd, cand_v, best_v)
+        best_h = jnp.where(upd, cand_h, best_h)
+        best_o = jnp.where(upd, r, best_o)
+        bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
+    return best_v, best_o, bad
+
+
+def pack_query_windows(c, k: int):
+    """(B, L) uint32 codes -> list of ceil(2k/32) (B, W) uint32 words:
+    every k-window 2-bit packed in TEXT bit order (base i at bits
+    [2i, 2i+2) of word i//16) for XOR comparison against the packed
+    unitig text. Shared by the single-chip engines and the mesh locate."""
+    B, L = c.shape
+    W = L - k + 1
+    q_words = []
+    for w in range((2 * k + 31) // 32):
+        qw = jnp.zeros((B, W), jnp.uint32)
+        for i in range(16 * w, min(16 * (w + 1), k)):
+            ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
+            qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
+        q_words.append(qw)
+    return q_words
+
+
+def initial_capacities(BW: int, use_v2: bool, slow_divisor: int | None = None):
+    """Starting (K_slow, K_heads) for a (B*W)-window dispatch. v2's K
+    bounds slow RUNS (~windows / run-length fewer than slow windows), so
+    its divisor is larger. Callers needing more slow headroom (e.g. the
+    occurrence-counting kmer-mapper path, which scans slots to the end)
+    pass a smaller slow_divisor."""
+    if slow_divisor is None:
+        slow_divisor = 256 if use_v2 else 32
+    return max(256, BW // slow_divisor), max(1024, BW // 6)
+
+
+def grow_capacities(K: int, KH: int, n_slow: int, n_heads: int, BW: int):
+    """Shared resize policy after a dispatch: None if (K, KH) was
+    sufficient, else the next (K, KH) to retry with (K x4, KH doubled or
+    jumped straight to the observed head count). Raises once capacities
+    are already at the B*W ceiling -- overflow there means the counters
+    are wrong, not the sizing. One place, used by the engine's verify
+    loop and kmer_mapper's, so the growth rule cannot drift."""
+    if n_slow <= K and n_heads <= KH:
+        return None
+    if K >= BW and KH >= BW:
+        raise AssertionError("slow-path overflow at K == B*W")
+    if n_slow > K:
+        K = min(BW, K * 4)
+    if n_heads > KH:
+        KH = min(BW, max(KH * 2, n_heads))
+    return K, KH
+
+
 def build_occ_rows(mindex: MinimizerIndex) -> np.ndarray:
     """(n_occ, 4) int32 candidate payload rows (gstart, uid, off, uend):
     one row gather per candidate check."""
@@ -155,6 +242,11 @@ def desc_to_rows(desc: np.ndarray) -> np.ndarray:
     two), and the exact length column (successive-start difference, not
     the 6-bit saturated stored length) kills the slow-path
     next-slot-start gather."""
+    from finito_tpu import native
+
+    rows = native.desc_to_rows_native(np.asarray(desc), _DESC_LEN_BITS)
+    if rows is not None:
+        return rows
     starts = (np.asarray(desc) >> np.uint64(6)).astype(np.int64)
     rows = np.empty((starts.size, 2), dtype=np.int32)
     rows[:, 0] = starts
@@ -367,26 +459,7 @@ def make_minimizer_locate_v2(
         W = L - k + 1
         c = codes.astype(jnp.uint32)
 
-        nm = L - m + 1
-        mv = jnp.zeros((B, nm), jnp.uint32)
-        bad_m = jnp.zeros((B, nm), jnp.bool_)
-        for i in range(m):
-            ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
-            mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
-            bad_m = bad_m | (ci > 3)
-        hv = mix32_device(mv)
-        best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
-        best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
-        best_o = jnp.zeros((B, W), jnp.int32)
-        bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
-        for r in range(1, R):
-            cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
-            cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
-            upd = cand_h < best_h
-            best_v = jnp.where(upd, cand_v, best_v)
-            best_h = jnp.where(upd, cand_h, best_h)
-            best_o = jnp.where(upd, r, best_o)
-            bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
+        best_v, best_o, bad = minimizer_scan(c, k, m)
 
         # ---- run heads: pm = in-read m-mer position of the minimizer;
         # non-decreasing, so one cumsum yields head ordinals AND the
@@ -648,40 +721,11 @@ def make_minimizer_locate(dmi: DeviceMinimizerIndex, K_slow: int, count_occurren
         W = L - k + 1
         c = codes.astype(jnp.uint32)
 
-        # --- rolling m-mer values (first char most significant) and
-        #     window validity, zero gathers
-        nm = L - m + 1
-        mv = jnp.zeros((B, nm), jnp.uint32)
-        bad_m = jnp.zeros((B, nm), jnp.bool_)
-        for i in range(m):
-            ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
-            mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
-            bad_m = bad_m | (ci > 3)
+        # --- minimizer selection + window validity, zero gathers
+        best_v, best_o, bad = minimizer_scan(c, k, m)
 
-        # hashed ("random") minimizer order; ties keep the leftmost, same as build
-        hv = mix32_device(mv)
-        best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
-        best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
-        best_o = jnp.zeros((B, W), jnp.int32)
-        bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
-        for r in range(1, R):
-            cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
-            cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
-            upd = cand_h < best_h  # strict: keeps the leftmost minimum
-            best_v = jnp.where(upd, cand_v, best_v)
-            best_h = jnp.where(upd, cand_h, best_h)
-            best_o = jnp.where(upd, r, best_o)
-            bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
-
-        # --- packed query windows (text bit order: base i at bits 2i),
-        #     ceil(2k/32) words per window, any k
-        q_words = []
-        for w in range(NW):
-            qw = jnp.zeros((B, W), jnp.uint32)
-            for i in range(16 * w, min(16 * (w + 1), k)):
-                ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
-                qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
-            q_words.append(qw)
+        # --- packed query windows (text bit order), any k
+        q_words = pack_query_windows(c, k)
 
         # --- slot lookup: slot = slot32(v) >> (32-h); hash collisions
         # are harmless (the text compare is the arbiter)

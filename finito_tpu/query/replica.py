@@ -301,12 +301,9 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
         W = L - k + 1
         cc_len = chunk
         if cc_len is None:
-            # auto: ~1.5k-long chunks once reads are longer. Measured on
-            # v5e (k=31, L=128, B=8192): chunk 36 -> 3.25 M q/s,
-            # 44/48 -> 4.13 M, 62 -> 3.72 M; the knee sits near 1.5k
-            # where the extra overlapped-gather volume starts to cost
-            # more than the shorter sequential scan saves.
-            cc_len = max((3 * k) // 2, 48)
+            from finito_tpu.ops.streaming import auto_chunk
+
+            cc_len = auto_chunk(k)  # measured v5e knee; see its docstring
         if k <= cc_len < L:
             emit, cand, untrusted = (
                 unchunk_grid(g, B, L, k, cc_len)

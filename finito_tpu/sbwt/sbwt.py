@@ -47,11 +47,23 @@ class PlainMatrixSBWT:
     @staticmethod
     def from_bit_rows(bit_rows: np.ndarray, k: int, n_kmers: int) -> "PlainMatrixSBWT":
         n_nodes = bit_rows.shape[1]
+        return PlainMatrixSBWT.from_packed_rows(
+            [pack_bits(bit_rows[c]) for c in range(4)], n_nodes, k, n_kmers
+        )
+
+    @staticmethod
+    def from_packed_rows(
+        packed_rows, n_nodes: int, k: int, n_kmers: int
+    ) -> "PlainMatrixSBWT":
+        """Construct from 4 already-packed uint64 word rows (tail bits
+        past n_nodes must be zero) -- the load path feeds file words
+        straight in, skipping the bytes-per-node unpack/re-pack round
+        trip (which at genome scale costs more in first-touch page
+        faults than the whole decode)."""
         rows = []
         blocks = []
         for c in range(4):
-            w = pack_bits(bit_rows[c])
-            w = np.concatenate([w, np.zeros(1, dtype=np.uint64)])
+            w = np.concatenate([np.asarray(packed_rows[c], np.uint64), np.zeros(1, dtype=np.uint64)])
             pc = popcount_words(w).astype(np.int64)
             b = np.zeros(w.size, dtype=np.int64)
             np.cumsum(pc[:-1], out=b[1:])
@@ -198,9 +210,9 @@ class PlainMatrixSBWT:
                 raise IOError(f"bad .sbwt magic {magic!r} (expected finito_tpu FINSBWT1 format)")
             k, n_nodes, n_kmers = struct.unpack("<QQQ", f.read(24))
             _C = np.frombuffer(f.read(32), dtype="<i8")
-            rows = [sdsl.read_bit_vector_stream(f) for _ in range(4)]
-            return PlainMatrixSBWT.from_bit_rows(
-                np.stack(rows), k=int(k), n_kmers=int(n_kmers)
+            rows = [sdsl.read_bit_vector_words_stream(f)[0] for _ in range(4)]
+            return PlainMatrixSBWT.from_packed_rows(
+                rows, n_nodes=int(n_nodes), k=int(k), n_kmers=int(n_kmers)
             )
         finally:
             if close:

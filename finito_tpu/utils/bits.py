@@ -40,6 +40,11 @@ def pack_values(values: np.ndarray, width: int) -> np.ndarray:
     buf = np.zeros(n_words * 8, dtype=np.uint8)
     if n == 0 or width == 0:
         return buf.view(np.uint64)
+    from finito_tpu import native
+
+    packed = native.pack_values_native(values, width)
+    if packed is not None:
+        return packed
     shifts = np.arange(width, dtype=np.uint64)
     for s in range(0, n, _CHUNK):
         chunk = values[s : s + _CHUNK]
@@ -50,11 +55,23 @@ def pack_values(values: np.ndarray, width: int) -> np.ndarray:
     return buf.view(np.uint64)
 
 
-def unpack_values(words: np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_values`; returns uint64 array of length n."""
+def unpack_values(words: np.ndarray, n: int, width: int, dtype=None) -> np.ndarray:
+    """Inverse of :func:`pack_values`; returns an array of length n.
+
+    dtype (default uint64) narrows the output element type -- the decode
+    then touches width-matched bytes instead of 8/element, which on this
+    project's microVM hosts (first-touch page faults ~2 orders of
+    magnitude dearer than the decode) dominates index load time. The
+    dtype must hold width-bit values exactly."""
+    dt = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
     if n == 0 or width == 0:
-        return np.zeros(n, dtype=np.uint64)
+        return np.zeros(n, dtype=dt)
     words = np.ascontiguousarray(words, dtype=np.uint64)
+    from finito_tpu import native
+
+    unpacked = native.unpack_values_native(words, n, width, dt)
+    if unpacked is not None:
+        return unpacked
     out = np.empty(n, dtype=np.uint64)
     byte_view = words.view(np.uint8)
     shifts = np.arange(width, dtype=np.uint64)
@@ -67,6 +84,11 @@ def unpack_values(words: np.ndarray, n: int, width: int) -> np.ndarray:
         bits = np.unpackbits(byte_view[b_lo:b_hi], bitorder="little")
         bits = bits[: m * width].reshape(m, width).astype(np.uint64)
         out[s : s + m] = (bits << shifts).sum(axis=1, dtype=np.uint64)
+    if dt != np.dtype(np.uint64):
+        bits_avail = 8 * dt.itemsize - (1 if dt.kind == "i" else 0)
+        if dt.kind not in ("u", "i") or width > bits_avail:
+            raise ValueError(f"dtype {dt} cannot hold width-{width} values")
+        out = out.astype(dt)
     return out
 
 
