@@ -80,9 +80,14 @@ def main() -> int:
     ck_tab = jnp.asarray(
         np.stack([np.zeros(nn, np.int32), np.full(nn, nn - 1, np.int32)], axis=1)
     )
+    # synthetic dense edge table (every transition present): measures the
+    # same gather pattern as a real mature chain
+    edge_tab = jnp.asarray(
+        rng.integers(0, nn, size=4 * nn, dtype=np.int32)
+    )
     S = 64
     chain = make_chain_scan(n8, 31, nn)
-    cf = jax.jit(lambda codes: chain(rtab, C, ck_tab, codes))
+    cf = jax.jit(lambda codes: chain(rtab, C, ck_tab, edge_tab, codes))
     for lanes_pow in (13, 15, 17):
         lanes = 1 << lanes_pow
         codes_l = [

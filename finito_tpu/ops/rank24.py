@@ -179,6 +179,37 @@ def build_contract_k_table(LCS: np.ndarray, k: int) -> np.ndarray:
     return np.stack([lo, hi], axis=1).astype(np.int32)
 
 
+def build_edge_table(bit_rows: np.ndarray, C, contract_k: np.ndarray) -> np.ndarray:
+    """(4n,) int32 forward-edge automaton: edge[4x + c] = colex rank of
+    the k-mer obtained by sliding the window of k-mer x one base (drop
+    first char, append c), or -1 when that k-mer is absent.
+
+    This is the mature steady state of the streaming chain (ref
+    common.hh:114-143) collapsed to ONE gather: after a window close the
+    reference widens the singleton {x} to its (k-1)-suffix interval
+    (contract_k row gather) and right-extends it with c (2 rank
+    gathers); all three collapse into this precomputed table, cutting
+    the scan step's sequential-dependency depth from 2 gathers to 1 --
+    the scan is latency-bound (see ops.streaming), so this is ~the
+    chain's critical path halved. Entries at dummy ($-padded) nodes are
+    never consulted: a mature close always lands on a real k-mer node.
+
+    Cost: 16 bytes/node of device memory (the compact engines' other
+    tables total ~20 B/node)."""
+    n = bit_rows.shape[1]
+    Ca = np.asarray(C, dtype=np.int64)
+    cl = contract_k[:, 0].astype(np.int64)
+    ch = contract_k[:, 1].astype(np.int64)
+    edge = np.empty((n, 4), dtype=np.int32)
+    r = np.zeros(n + 1, dtype=np.int64)
+    for c in range(4):
+        np.cumsum(bit_rows[c], out=r[1:])
+        lo = Ca[c] + r[cl]
+        hi = Ca[c] + r[ch + 1] - 1
+        edge[:, c] = np.where(lo <= hi, lo, -1).astype(np.int32)
+    return edge.reshape(-1)
+
+
 def widen_interval(jl, jr, lo, hi, new_len, n_nodes: int):
     """Batched drop_first_char via packed jump hops (1 gather per hop/side).
 

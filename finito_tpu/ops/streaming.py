@@ -129,51 +129,67 @@ def unchunk_grid(grid_ch, B: int, L: int, k: int, C: int):
 
 
 def make_chain_scan(n8: int, k: int, n_nodes: int):
-    """Phase A. run(tab, C, contract_k, codes): (B, L) codes -> (B, L)
-    per-position status: rank >= 0 found, -1 definitively absent, -2
-    unknown (positions < k-1 are meaningless and set to -1 by the
+    """Phase A. run(tab, C, contract_k, edge, codes): (B, L) codes ->
+    (B, L) per-position status: rank >= 0 found, -1 definitively absent,
+    -2 unknown (positions < k-1 are meaningless and set to -1 by the
     caller's slice). Index arrays are call ARGUMENTS so jitted callers
-    don't embed them as HLO constants (breaks remote compiles at scale)."""
+    don't embed them as HLO constants (breaks remote compiles at scale).
 
-    def step(tab, C, contract_k, carry, c):
+    Hybrid automaton: an IMMATURE lane tracks the SBWT interval of
+    seq[ks..j] (2 rank gathers/step) exactly like the reference's
+    streaming scan; at the first window close it hands the singleton to
+    the MATURE mode, which follows the precomputed forward-edge table
+    (ops.rank24.build_edge_table, 1 gather/step, critical-path depth 1).
+    The two modes emit bit-identical values (a mature close IS the edge
+    transition: contract-to-(k-1)-suffix + extend == edge[4x+c]); on any
+    failure the lane resets to immature with ks = j+1."""
+
+    def step(tab, C, contract_k, edge, carry, c):
         def upd(c, lo, hi):
             return update_interval24(tab, n8, C, c, lo, hi)
 
-        lo, hi, ks, j = carry  # interval of seq[ks..j-1]
+        lo, hi, ks, x, j = carry  # interval of seq[ks..j-1]; x >= 0 <=> mature
         invalid = c > 3
+        em = x >= 0
+        # mature path: one gather, depth-1 sequential dependency
+        xe = jnp.take(edge, jnp.where(em, x * 4 + jnp.where(invalid, 0, c), 0))
+        e_found = em & ~invalid & (xe >= 0)
+        # immature path (also runs for mature lanes on safe indices)
         nlo, nhi = upd(c, lo, hi)
         failed = invalid | (nlo < 0)
         had_full_context = ks == j - k + 1  # chain length entering was k-1
-        close = ~failed & (j - ks + 1 == k)
+        close = ~em & ~failed & (j - ks + 1 == k)
 
-        emit = jnp.where(
+        emit_i = jnp.where(
             close,
             nlo,
             jnp.where(failed & had_full_context & ~invalid, -1, UNKNOWN),
         )
-        emit = jnp.where(invalid, -1, emit)
+        emit_i = jnp.where(invalid, -1, emit_i)
+        # mature lanes always have full context: found or definitive absent
+        emit = jnp.where(em, jnp.where(e_found, xe, -1), emit_i)
 
-        # slide on close: contract the singleton to its (k-1)-suffix interval
-        pair = jnp.take(contract_k, jnp.where(close, nlo, 0), axis=0)
-        lo2 = jnp.where(close, pair[:, 0], nlo)
-        hi2 = jnp.where(close, pair[:, 1], nhi)
-        ks2 = jnp.where(close, ks + 1, ks)
-        # reset on failure
-        lo3 = jnp.where(failed, 0, lo2)
-        hi3 = jnp.where(failed, n_nodes - 1, hi2)
-        ks3 = jnp.where(failed, j + 1, ks2)
-        return (lo3, hi3, ks3, j + 1), emit
+        # next mature node: edge transition, or immature close's singleton
+        x2 = jnp.where(e_found, xe, jnp.where(close, nlo, -1))
+        # immature carry: extend on success, reset on failure; parked at
+        # the full interval while mature (never consulted, kept safe)
+        any_fail = jnp.where(em, ~e_found, failed)
+        lo2 = jnp.where(failed | em, 0, nlo)
+        hi2 = jnp.where(failed | em, n_nodes - 1, nhi)
+        ks2 = jnp.where(any_fail, j + 1, jnp.where(em | close, j - k + 2, ks))
+        return (lo2, hi2, ks2, x2, j + 1), emit
 
-    def run(tab, C, contract_k, codes):
+    def run(tab, C, contract_k, edge, codes):
         B, L = codes.shape
         init = (
             jnp.zeros(B, jnp.int32),
             jnp.full(B, n_nodes - 1, jnp.int32),
             jnp.zeros(B, jnp.int32),
+            jnp.full(B, -1, jnp.int32),
             jnp.int32(0),
         )
         _, emitted = lax.scan(
-            lambda carry, c: step(tab, C, contract_k, carry, c),
+            lambda carry, c: step(tab, C, contract_k, edge, carry, c),
             init,
             codes.astype(jnp.int32).T,
         )
@@ -219,27 +235,27 @@ def make_window_verifier(n8: int, k: int, n_nodes: int):
 def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int, chunk: int | None = None):
     """Fully device-resident two-phase pipeline (single dispatch).
 
-    Returns run(tab, C, contract_k, codes) -> ((B, W) ranks, n_unknown).
-    K bounds the number of UNKNOWN windows verified on-device; if
-    n_unknown > K the caller MUST re-run with a larger K (unverified
-    windows must never be reported). n_unknown also lets callers
-    right-size K for steady-state workloads. chunk (None = whole read)
-    splits each read into k-1-overlapped chunks scanned as extra lanes
-    (see chunk_reads); exactness is unaffected, UNKNOWN count can only
-    grow (chunk-local failures), and every UNKNOWN is re-verified."""
+    Returns run(tab, C, contract_k, edge, codes) -> ((B, W) ranks,
+    n_unknown). K bounds the number of UNKNOWN windows verified
+    on-device; if n_unknown > K the caller MUST re-run with a larger K
+    (unverified windows must never be reported). n_unknown also lets
+    callers right-size K for steady-state workloads. chunk (None = whole
+    read) splits each read into k-1-overlapped chunks scanned as extra
+    lanes (see chunk_reads); exactness is unaffected, UNKNOWN count can
+    only grow (chunk-local failures), and every UNKNOWN is re-verified."""
     chain = make_chain_scan(n8, k, n_nodes)
     verify = make_window_verifier(n8, k, n_nodes)
 
-    def run(tab, C, contract_k, codes):
+    def run(tab, C, contract_k, edge, codes):
         B, L = codes.shape
         W = L - k + 1
         if chunk is not None and k <= chunk < L:
             status = unchunk_grid(
-                chain(tab, C, contract_k, chunk_reads(codes, k, chunk)),
+                chain(tab, C, contract_k, edge, chunk_reads(codes, k, chunk)),
                 B, L, k, chunk,
             )[:, k - 1 :]
         else:
-            status = chain(tab, C, contract_k, codes)[:, k - 1 :]  # (B, W)
+            status = chain(tab, C, contract_k, edge, codes)[:, k - 1 :]  # (B, W)
         mask = (status == UNKNOWN).reshape(-1)
         flat_idx, n_unknown = compact_mask(mask, K)
         valid = flat_idx >= 0

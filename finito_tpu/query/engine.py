@@ -170,6 +170,7 @@ class DeviceQueryEngine:
         elif mode == "stream":
             from finito_tpu.ops.rank24 import (
                 build_contract_k_table,
+                build_edge_table,
                 build_rank24_tables,
             )
             from finito_tpu.ops.streaming import auto_chunk, make_chain_stream_ranks
@@ -183,9 +184,14 @@ class DeviceQueryEngine:
             tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
             n8 = tab.shape[0] // 4
             C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
-            ck = jnp.asarray(build_contract_k_table(index.LCS, self.k))
+            ck_np = build_contract_k_table(index.LCS, self.k)
+            ck = jnp.asarray(ck_np)
+            edge = jnp.asarray(
+                build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np)
+            )
             n_nodes = index.sbwt.number_of_subsets()
             self._tab, self._n8, self._C, self._ck, self._n_nodes = tab, n8, C, ck, n_nodes
+            self._edge = edge
             loc_table = self.loc_table
             k = self.k
             stream_cache = {}
@@ -195,13 +201,13 @@ class DeviceQueryEngine:
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
 
-                def f(tab, C, ck, loc_table, codes):
-                    ranks, n_unknown = ranks_fn(tab, C, ck, codes)
+                def f(tab, C, ck, edge, loc_table, codes):
+                    ranks, n_unknown = ranks_fn(tab, C, ck, edge, codes)
                     uid, off = _ranks_to_locations(loc_table, ranks)
                     return uid, off, n_unknown > K
 
                 jf = jax.jit(f)
-                return lambda codes: jf(tab, C, ck, loc_table, codes)
+                return lambda codes: jf(tab, C, ck, edge, loc_table, codes)
 
             def locate_stream(codes):
                 B, L = codes.shape
@@ -449,16 +455,16 @@ class DeviceQueryEngine:
             eff_chunk = self.chunk if self.chunk is not None else auto_chunk(k)
             ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
 
-            def _pipe(tab, C, ck, lt, codes):
-                ranks, n_unknown = ranks_fn(tab, C, ck, codes)
+            def _pipe(tab, C, ck, edge, lt, codes):
+                ranks, n_unknown = ranks_fn(tab, C, ck, edge, codes)
                 uid, off = _ranks_to_locations(lt, ranks)
                 return uid, off, n_unknown
 
             jitted = jax.jit(_pipe)
-            tab, C, ck = self._tab, self._C, self._ck
+            tab, C, ck, edge = self._tab, self._C, self._ck, self._edge
 
             def pipe(codes):
-                return jitted(tab, C, ck, loc_table, codes)
+                return jitted(tab, C, ck, edge, loc_table, codes)
 
             pipe.K = K
             return pipe

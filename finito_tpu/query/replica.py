@@ -52,6 +52,7 @@ from jax import lax
 
 from finito_tpu.ops.rank24 import (
     build_contract_k_table,
+    build_edge_table,
     build_lcs_jump_tables,
     build_rank24_tables,
     update_interval24,
@@ -146,47 +147,67 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
     uend_tab = jnp.asarray(build_uend_table(index.unitigs.ends))
 
-    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab)
+    edge = jnp.asarray(
+        build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(),
+                         np.asarray(ck))
+    )
+    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge)
     NEG = jnp.int32(-1)
 
     # ---- phase A: optimistic chain (emit, cand_x, untrusted) ------------
-    def chain_opt(tab, C, ck, codes):
+    # Hybrid automaton (see ops.streaming.make_chain_scan): immature
+    # lanes track the SBWT interval (2 rank gathers/step); at the first
+    # close the lane follows the forward-edge table (1 gather/step,
+    # sequential-dependency depth 1 -- the scan is latency-bound, so
+    # this halves the critical path vs the rank->contract chain).
+    def chain_opt(tab, C, ck, edge, codes):
         def upd(c, lo, hi):
             return update_interval24(tab, n8, C, c, lo, hi)
 
         B, L = codes.shape
 
         def step(carry, c):
-            lo, hi, ks, lastfail, j = carry
+            lo, hi, ks, x, lastfail, j = carry
             invalid = c > 3
+            em = x >= 0  # mature: x = node of the k-mer ending at j-1
+            xe = jnp.take(edge, jnp.where(em, x * 4 + jnp.where(invalid, 0, c), 0))
+            e_found = em & ~invalid & (xe >= 0)
             nlo, nhi = upd(c, lo, hi)
             failed = invalid | (nlo < 0)
             mature = ks == j - k + 1
-            close = ~failed & (j - ks + 1 == k)
-            # status: rank on close; mature non-invalid failure is a
-            # DEFINITIVE absent; everything else unknown-until-repair
-            emit = jnp.where(
+            close = ~em & ~failed & (j - ks + 1 == k)
+            # status: rank on close; full-context non-invalid failure is
+            # a DEFINITIVE absent; everything else unknown-until-repair
+            emit_i = jnp.where(
                 close, nlo, jnp.where(failed & mature & ~invalid, NEG, jnp.int32(-2))
             )
-            emit = jnp.where(invalid, NEG, emit)
-            single = ~failed & (nlo == nhi)
-            cand = jnp.where(single, nlo, NEG)
-            lastfail2 = jnp.where(failed, j, lastfail)
+            emit_i = jnp.where(invalid, NEG, emit_i)
+            emit = jnp.where(em, jnp.where(e_found, xe, NEG), emit_i)
+            # singleton suffix: the k-mer node on mature steps, the
+            # interval singleton while immature
+            single_i = ~failed & (nlo == nhi)
+            cand = jnp.where(
+                em,
+                jnp.where(e_found, xe, NEG),
+                jnp.where(single_i, nlo, NEG),
+            )
+            any_fail = jnp.where(em, ~e_found, failed)
+            lastfail2 = jnp.where(any_fail, j, lastfail)
             untrusted = j - k + 1 <= lastfail2
 
-            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
-            lo2 = jnp.where(close, pair[:, 0], nlo)
-            hi2 = jnp.where(close, pair[:, 1], nhi)
-            ks2 = jnp.where(close, ks + 1, ks)
-            lo3 = jnp.where(failed, 0, lo2)
-            hi3 = jnp.where(failed, n_nodes - 1, hi2)
-            ks3 = jnp.where(failed, j + 1, ks2)
-            return (lo3, hi3, ks3, lastfail2, j + 1), (emit, cand, untrusted)
+            x2 = jnp.where(e_found, xe, jnp.where(close, nlo, jnp.int32(-1)))
+            # interval carry: extend while immature; parked at the full
+            # interval while mature or after a failure (reset state)
+            lo2 = jnp.where(failed | em, 0, nlo)
+            hi2 = jnp.where(failed | em, n_nodes - 1, nhi)
+            ks2 = jnp.where(any_fail, j + 1, jnp.where(em | close, j - k + 2, ks))
+            return (lo2, hi2, ks2, x2, lastfail2, j + 1), (emit, cand, untrusted)
 
         init = (
             jnp.zeros(B, jnp.int32),
             jnp.full(B, n_nodes - 1, jnp.int32),
             jnp.zeros(B, jnp.int32),
+            jnp.full(B, -1, jnp.int32),
             jnp.full(B, -(k + 2), jnp.int32),
             jnp.int32(0),
         )
@@ -195,7 +216,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
 
     # ---- phase B: exact repair of untrusted segments --------------------
     def repair(P, codes, emit, cand, untrusted):
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab) = P
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge) = P
 
         def upd(c, lo, hi):
             return update_interval24(tab, n8, C, c, lo, hi)
@@ -296,7 +317,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     def run(P, codes):
         from finito_tpu.ops.streaming import chunk_reads, unchunk_grid
 
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab) = P
+        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge) = P
         B, L = codes.shape
         W = L - k + 1
         cc_len = chunk
@@ -307,10 +328,10 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
         if k <= cc_len < L:
             emit, cand, untrusted = (
                 unchunk_grid(g, B, L, k, cc_len)
-                for g in chain_opt(tab, C, ck, chunk_reads(codes, k, cc_len))
+                for g in chain_opt(tab, C, ck, edge, chunk_reads(codes, k, cc_len))
             )
         else:
-            emit, cand, untrusted = chain_opt(tab, C, ck, codes)
+            emit, cand, untrusted = chain_opt(tab, C, ck, edge, codes)
         emit, cand, n_seg = repair(P, codes, emit, cand, untrusted)
 
         ranks = emit[:, k - 1 :]  # (B, W)

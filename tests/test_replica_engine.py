@@ -147,7 +147,11 @@ def test_stream_chunked_matches_unchunked(chunk):
     import jax.numpy as jnp
 
     from finito_tpu.io.seqdb import encode_seq
-    from finito_tpu.ops.rank24 import build_rank24_tables, build_contract_k_table
+    from finito_tpu.ops.rank24 import (
+        build_contract_k_table,
+        build_edge_table,
+        build_rank24_tables,
+    )
     from finito_tpu.ops.streaming import make_chain_stream_ranks
 
     rng = np.random.default_rng(53)
@@ -157,7 +161,11 @@ def test_stream_chunked_matches_unchunked(chunk):
     tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
     n8 = tab.shape[0] // 4
     C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
-    ck = jnp.asarray(build_contract_k_table(index.LCS, k))
+    ck_np = build_contract_k_table(index.LCS, k)
+    ck = jnp.asarray(ck_np)
+    edge = jnp.asarray(
+        build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np)
+    )
     B, L = 16, 40
     reads = np.full((B, L), 255, np.uint8)
     for b in range(B):
@@ -170,8 +178,8 @@ def test_stream_chunked_matches_unchunked(chunk):
     K = B * (L - k + 1)
     base = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K)
     ch = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K, chunk=chunk)
-    r0, n0 = base(tab, C, ck, jnp.asarray(reads))
-    r1, n1 = ch(tab, C, ck, jnp.asarray(reads))
+    r0, n0 = base(tab, C, ck, edge, jnp.asarray(reads))
+    r1, n1 = ch(tab, C, ck, edge, jnp.asarray(reads))
     assert int(n0) <= K and int(n1) <= K
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
