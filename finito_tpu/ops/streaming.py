@@ -71,18 +71,26 @@ def compact_mask(mask, K: int):
     return out, n
 
 
-def auto_chunk(k: int) -> int:
-    """Default chain-scan chunk length for a given k.
+AUTO_CHUNK_LANES = 8192  # measured v5e scan-lane saturation point
 
-    Measured on v5e at k=31, L=128, B=8192: chunk 36 -> 3.25 M q/s,
-    44/48 -> 4.13 M, 62 -> 3.72 M; the knee sits near max(1.5k, 48),
-    where the extra overlapped-gather volume starts to cost more than
-    the shorter sequential scan saves. Only the k=31 point is measured;
-    the 1.5k scaling term is an extrapolation (the floor 48, not the
-    1.5k term, is what the measurement pinned -- 3*31//2 = 46 clamps
-    to 48). Shared by the stream and replica engines so a retune
-    happens in exactly one place."""
-    return max((3 * k) // 2, 48)
+
+def auto_chunk(k: int, B: int, L: int) -> int:
+    """Default chain-scan chunk length (0 = scan whole reads).
+
+    With the forward-edge chain the scan step's critical path is one
+    gather and measured v5e throughput saturates near ~8k total lanes:
+    at k=31, L=128, B=8192 the UNchunked scan wins every chunked split
+    (replica 4.78 M q/s vs 4.21 M at chunk 62 and 4.47 M at 96; stream
+    6.19 M vs 4.91 M at 48 -- round-4 sweep). Chunking still pays when
+    the batch itself is too small to fill the device: pick the chunk
+    that lifts B * n_chunks to ~AUTO_CHUNK_LANES, else scan whole
+    reads. Shared by the stream and replica engines so a retune happens
+    in exactly one place."""
+    if 2 * B > AUTO_CHUNK_LANES or L < 2 * k:
+        return 0
+    n_ch = max(1, AUTO_CHUNK_LANES // B)
+    W = L - k + 1
+    return k - 1 + -(-W // n_ch)
 
 
 def n_chunks(L: int, k: int, C: int) -> int:
@@ -239,20 +247,22 @@ def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int, chunk: int | 
     n_unknown). K bounds the number of UNKNOWN windows verified
     on-device; if n_unknown > K the caller MUST re-run with a larger K
     (unverified windows must never be reported). n_unknown also lets
-    callers right-size K for steady-state workloads. chunk (None = whole
-    read) splits each read into k-1-overlapped chunks scanned as extra
-    lanes (see chunk_reads); exactness is unaffected, UNKNOWN count can
-    only grow (chunk-local failures), and every UNKNOWN is re-verified."""
+    callers right-size K for steady-state workloads. chunk (None = auto:
+    auto_chunk at trace time from the batch shape; 0 = whole reads)
+    splits each read into k-1-overlapped chunks scanned as extra lanes
+    (see chunk_reads); exactness is unaffected, UNKNOWN count can only
+    grow (chunk-local failures), and every UNKNOWN is re-verified."""
     chain = make_chain_scan(n8, k, n_nodes)
     verify = make_window_verifier(n8, k, n_nodes)
 
     def run(tab, C, contract_k, edge, codes):
         B, L = codes.shape
         W = L - k + 1
-        if chunk is not None and k <= chunk < L:
+        eff = auto_chunk(k, B, L) if chunk is None else chunk
+        if k <= eff < L:
             status = unchunk_grid(
-                chain(tab, C, contract_k, edge, chunk_reads(codes, k, chunk)),
-                B, L, k, chunk,
+                chain(tab, C, contract_k, edge, chunk_reads(codes, k, eff)),
+                B, L, k, eff,
             )[:, k - 1 :]
         else:
             status = chain(tab, C, contract_k, edge, codes)[:, k - 1 :]  # (B, W)

@@ -124,6 +124,29 @@ def _put(mesh, x, spec):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def _put_shard_blocks(mesh, block_fn, spec):
+    """Assemble a mesh-sharded (S, ...) global array by materializing
+    ONLY the shards owned by this process: block_fn(s) -> host block for
+    shard s, called once per ADDRESSABLE device and freed right after
+    its device_put. Host working set peaks at one shard's block (the
+    round-3 builds staged the whole (S, ...) stack through one host
+    array), and under multi-process SPMD remote shards are never even
+    computed -- each host packs 1/n_processes of the problem."""
+    devs = list(mesh.devices.reshape(-1))
+    me = jax.process_index()
+    parts = []
+    for s, d in enumerate(devs):
+        if d.process_index != me:
+            continue
+        b = block_fn(s)
+        parts.append(jax.device_put(b[None], d))
+        del b
+    shape = (len(devs),) + tuple(parts[0].shape[1:])
+    return jax.make_array_from_single_device_arrays(
+        shape, NamedSharding(mesh, spec), parts
+    )
+
+
 def _host_splitters(samples: List[np.ndarray], S: int, Pp: int) -> np.ndarray:
     """S-1 quantile splitters from a small host sample (the control
     plane: a few KB; the data plane stays on device)."""
@@ -135,14 +158,17 @@ def _host_splitters(samples: List[np.ndarray], S: int, Pp: int) -> np.ndarray:
     return planes[idx]
 
 
-def _pack_shards(segs: Sequence[np.ndarray], k: int, S: int, key_fn):
+def _pack_shards(segs: Sequence[np.ndarray], k: int, S: int, key_fn, mesh):
     """Host prep shared by the mesh builders: greedy contiguous split of
     the segments over S shards by window count, per-shard packing via
-    key_fn(seg) -> key word list, sentinel-padded (S, N0, P) planes,
-    and a strided per-shard splitter sample (a few KB -- the full key
-    sets are never concatenated on the host).
+    key_fn(seg) -> key word list, and a strided per-shard splitter
+    sample (a few KB -- the full key sets are never concatenated on the
+    host). Shards are packed ONE AT A TIME and streamed to their
+    devices (_put_shard_blocks), so the host working set peaks at a
+    single shard's padded block, not the (S, N0, P) stack.
 
-    Returns (keys0, shard_sample, total_windows)."""
+    Returns (keys0 global (S, N0, P) device array, shard_sample,
+    total_windows)."""
     Pp = kj.n_planes(k)
     wins = np.array([c.size - k + 1 for c in segs], np.int64)
     total = int(wins.sum())
@@ -151,20 +177,34 @@ def _pack_shards(segs: Sequence[np.ndarray], k: int, S: int, key_fn):
     bounds = np.searchsorted(np.cumsum(wins), np.arange(1, S) * (total / S))
     groups = np.split(np.arange(len(segs)), bounds)
     W = (3 * k + 63) // 64
-    shard_keys = [
-        kw.concat([key_fn(segs[i]) for i in g]) if len(g) else kw.empty(W)
-        for g in groups
-    ]
-    N0 = max(1, max(ks[0].size for ks in shard_keys))
-    keys0 = np.full((S, N0, Pp), 0xFFFFFFFF, np.uint32)
-    for s, ks in enumerate(shard_keys):
+    # one window per position of each segment, so the padded block size
+    # is known without packing (key_fn preserves window count)
+    N0 = max(1, max((int(wins[g].sum()) for g in groups), default=1))
+
+    def block(s):
+        g = groups[s]
+        ks = kw.concat([key_fn(segs[i]) for i in g]) if len(g) else kw.empty(W)
+        blk = np.full((N0, Pp), 0xFFFFFFFF, np.uint32)
         if ks[0].size:
-            keys0[s, : ks[0].size] = kj.from_host(ks)
+            blk[: ks[0].size] = kj.from_host(ks)
+        return blk
+
+    keys0 = _put_shard_blocks(mesh, block, P("D", None, None))
+    # splitter sample: strided single windows packed straight from the
+    # segments -- rank-independent (every process sees the SAME sample
+    # regardless of which shards it owns) and O(64*S) windows of work
     stride = max(1, total // (64 * S))
-    sample = kw.concat(
-        [kw.take(ks, np.arange(0, ks[0].size, stride)) for ks in shard_keys
-         if ks[0].size]
-    )
+    samples = []
+    g0 = 0
+    nxt = 0
+    for seg in segs:
+        w = seg.size - k + 1
+        while nxt < g0 + w:
+            i = nxt - g0
+            samples.append(key_fn(seg[i : i + k]))
+            nxt += stride
+        g0 += w
+    sample = kw.concat(samples) if samples else kw.empty(W)
     return keys0, sample, total
 
 
@@ -200,7 +240,7 @@ def sharded_sbwt_build(
             codes_all.append(codes)
     # greedy contiguous split (per-shard host packing mirrors per-host IO)
     keys0, sample, total = _pack_shards(
-        codes_all, k, S, lambda seg: kw.pack_windows(seg, k)
+        codes_all, k, S, lambda seg: kw.pack_windows(seg, k), mesh
     )
 
     # splitters: node-key space (1) and (k-1)-suffix space (2)
@@ -222,7 +262,7 @@ def sharded_sbwt_build(
     skeys, counts = jax.jit(
         shard_map(_sortA, mesh=mesh, in_specs=(P("D", None, None), rep),
                   out_specs=(P("D", None, None), P("D", None)))
-    )(_put(mesh, keys0, P("D", None, None)), _put(mesh, spl1, rep))
+    )(keys0, _put(mesh, spl1, rep))
     M1 = max(1, int(np.asarray(counts).max()))  # exact: no overflow possible
     R1 = S * M1
 
@@ -480,56 +520,92 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
     LCS = np.asarray(LCS, dtype=np.int64)
     su = (np.maximum(LCS, np.concatenate([LCS[1:], [0]])) + 1).astype(np.int32)
 
-    # ---- node sharding: S uniform colex blocks (ownership = division)
+    # ---- node sharding: S uniform colex blocks (ownership = division);
+    # blocks are packed lazily per ADDRESSABLE shard (_put_shard_blocks:
+    # host peak = one block, remote shards never computed)
     Mn = -(-n_nodes // S)
-    nodes_pl = kj.from_host(node_keys)
-    nodes_sh = np.full((S, Mn, Pp), 0xFFFFFFFF, np.uint32)
-    su_sh = np.zeros((S, Mn), np.int32)
-    real_counts = np.zeros(S, np.int64)
     realmask = (node_keys[0] & np.uint64(7)) != 0  # no $ at label start
+    real_counts = np.zeros(S, np.int64)
     for s in range(S):
         a, b = s * Mn, min((s + 1) * Mn, n_nodes)
-        nodes_sh[s, : b - a] = nodes_pl[a:b]
-        su_sh[s, : b - a] = su[a:b]
-        real_counts[s] = int(realmask[a:b].sum())
-    bidx = (np.arange(1, S) * Mn).clip(0, n_nodes - 1)
+        if b > a:
+            real_counts[s] = int(realmask[a:b].sum())
+
+    def node_block(s):
+        a, b = s * Mn, min((s + 1) * Mn, n_nodes)
+        blk = np.full((Mn, Pp), 0xFFFFFFFF, np.uint32)
+        if b > a:
+            blk[: b - a] = kj.from_host(kw.take(node_keys, np.arange(a, b)))
+        return blk
+
+    def su_block(s):
+        a, b = s * Mn, min((s + 1) * Mn, n_nodes)
+        blk = np.zeros(Mn, np.int32)
+        if b > a:
+            blk[: b - a] = su[a:b]
+        return blk
+
+    nodes_d = _put_shard_blocks(mesh, node_block, P("D", None, None))
+    su_d = _put_shard_blocks(mesh, su_block, P("D", None))
+    bidx = (np.arange(1, S) * Mn).clip(0, max(n_nodes - 1, 0))
     spl = np.where(
         (np.arange(1, S) * Mn < n_nodes)[:, None],
-        nodes_pl[bidx],
+        kj.from_host(kw.take(node_keys, bidx)),
         np.uint32(0xFFFFFFFF),
     ).astype(np.uint32)
     M1 = max(1, int(real_counts.max()))  # exact: one window per real node
 
-    # ---- text sharding: S contiguous position blocks, B >= k
+    # ---- text sharding: S contiguous position blocks, B >= k; window
+    # keys are packed PER SHARD from the text slice (the whole-text
+    # pack_windows staged ~24 B/window on one host before round 4)
     B = max(-(-N // S), k)
     n_pos = N - k + 1
     if n_pos <= 0:
         raise ValueError("no k-mer windows in input")
-    # validity of window starts
-    pos = np.arange(n_pos, dtype=np.int64)
-    uid_all = np.searchsorted(ends, pos, side="right")
-    valid_all = pos + k <= ends[uid_all]
-    wkeys = kj.from_host(kw.pack_windows(concat, k))  # (n_pos, P)
-    wk_sh = np.full((S, B, Pp), 0xFFFFFFFF, np.uint32)
-    val_sh = np.zeros((S, B), np.bool_)
-    for s in range(S):
-        a = s * B
-        b = min(a + B, n_pos)
-        if a < n_pos:
-            seg = wkeys[a:b]
-            v = valid_all[a:b]
-            wk_sh[s, : b - a][v] = seg[v]
-            val_sh[s, : b - a] = v
-    base_ord = np.zeros(S, np.int32)
-    base_ord[1:] = np.cumsum(val_sh.sum(axis=1))[:-1].astype(np.int32)
-
     # host control plane: prefix candidates, scattered to end-position owners
     pc_pos, pc_len, pc_colex = prefix_candidates(sbwt, su, starts, ends, concat)
-    pcl_sh = np.full((S, B), k + 2, np.int32)
-    pcc_sh = np.zeros((S, B), np.int32)
-    sh_of = pc_pos // B
-    pcl_sh[sh_of, pc_pos - sh_of * B] = pc_len.astype(np.int32)
-    pcc_sh[sh_of, pc_pos - sh_of * B] = pc_colex.astype(np.int32)
+
+    def shard_valid(s):
+        a = s * B
+        b = min(a + B, n_pos)
+        v = np.zeros(B, np.bool_)
+        if a < n_pos:
+            pos_s = np.arange(a, b, dtype=np.int64)
+            uid_s = np.searchsorted(ends, pos_s, side="right")
+            v[: b - a] = pos_s + k <= ends[uid_s]
+        return v
+
+    # global control plane (cheap closed form, no key packing): per-shard
+    # valid counts -> rank-independent order bases
+    vcounts = np.array([int(shard_valid(s).sum()) for s in range(S)], np.int64)
+    n_valid = int(vcounts.sum())
+    base_ord = np.zeros(S, np.int32)
+    base_ord[1:] = np.cumsum(vcounts)[:-1].astype(np.int32)
+
+    def wk_block(s):
+        a = s * B
+        b = min(a + B, n_pos)
+        blk = np.full((B, Pp), 0xFFFFFFFF, np.uint32)
+        if a < n_pos:
+            v = shard_valid(s)[: b - a]
+            seg = kj.from_host(kw.pack_windows(concat[a : b - 1 + k], k))
+            blk[: b - a][v] = seg[v]
+        return blk
+
+    def pc_block(vals, fill):
+        def f(s):
+            a = s * B
+            blk = np.full(B, fill, np.int32)
+            sel = (pc_pos >= a) & (pc_pos < a + B)
+            blk[pc_pos[sel] - a] = vals[sel].astype(np.int32)
+            return blk
+
+        return f
+
+    wk_d = _put_shard_blocks(mesh, wk_block, P("D", None, None))
+    val_d = _put_shard_blocks(mesh, shard_valid, P("D", None))
+    pcl_d = _put_shard_blocks(mesh, pc_block(pc_len, k + 2), P("D", None))
+    pcc_d = _put_shard_blocks(mesh, pc_block(pc_colex, 0), P("D", None))
 
     ends32 = ends.astype(np.int32)
     starts32 = starts.astype(np.int32)
@@ -608,12 +684,12 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
             check_vma=False,
         )
     )(
-        _put(mesh, wk_sh, P("D", None, None)),
-        _put(mesh, pcl_sh, P("D", None)),
-        _put(mesh, pcc_sh, P("D", None)),
-        _put(mesh, val_sh, P("D", None)),
-        _put(mesh, nodes_sh, P("D", None, None)),
-        _put(mesh, su_sh, P("D", None)),
+        wk_d,
+        pcl_d,
+        pcc_d,
+        val_d,
+        nodes_d,
+        su_d,
         _put(mesh, spl, rep),
         _put(mesh, base_ord, P(None)),
         _put(mesh, ends32, P(None)),
@@ -631,7 +707,6 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
         raise ValueError("unitig longer than 2^30: scatter key overflow")
 
     # ---- phase B: route rows to node owners, resolve the overwrite rule
-    n_valid = int(val_sh.sum())
     M2 = max(1, int(np.ceil(slack * n_valid / S)))
     while True:
         def _phaseB(col_in, le_in, od_in, ge_in, val_in):

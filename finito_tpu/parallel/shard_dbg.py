@@ -124,7 +124,7 @@ def sharded_unitig_build(
         rc = [w[::-1] for w in rc]
         return select_keys(cmp_keys(fwd, rc) <= 0, fwd, rc)
 
-    keys0, sample, _total = _pack_shards(segs, k, S, canon_keys)
+    keys0, sample, _total = _pack_shards(segs, k, S, canon_keys, mesh)
     spl = _host_splitters(sample, S, Pp)
 
     # ---- phase A/B: sample-sort + dedup -> nodes, colex-range sharded --
@@ -140,7 +140,7 @@ def sharded_unitig_build(
     skeys, counts = jax.jit(
         shard_map(_phaseA, mesh=mesh, in_specs=(P("D", None, None), rep),
                   out_specs=(P("D", None, None), P("D", None)))
-    )(_put(mesh, keys0, P("D", None, None)), _put(mesh, spl, rep))
+    )(keys0, _put(mesh, spl, rep))
     M1 = max(1, int(np.asarray(counts).max()))
     R1 = S * M1
 

@@ -137,7 +137,8 @@ class DeviceQueryEngine:
         genome scale).
 
         chunk: scan-chunk length for the stream/replica chain scans
-        (ops.streaming.chunk_reads); None = auto (~2k), 0 disables."""
+        (ops.streaming.chunk_reads); None = auto (lane-saturation rule,
+        ops.streaming.auto_chunk), 0 disables."""
         self.index = index
         self.chunk = chunk
         self._mindex_cache = mindex_cache
@@ -173,7 +174,7 @@ class DeviceQueryEngine:
                 build_edge_table,
                 build_rank24_tables,
             )
-            from finito_tpu.ops.streaming import auto_chunk, make_chain_stream_ranks
+            from finito_tpu.ops.streaming import make_chain_stream_ranks
 
             self.pos_table = build_position_table(
                 self.dsbwt, index.unitigs.concat, index.unitigs.ends
@@ -196,7 +197,8 @@ class DeviceQueryEngine:
             k = self.k
             stream_cache = {}
 
-            eff_chunk = self.chunk if self.chunk is not None else auto_chunk(k)
+            # chunk None = auto (decided at trace time from the batch shape)
+            eff_chunk = self.chunk
 
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
@@ -449,11 +451,10 @@ class DeviceQueryEngine:
             pipe.K = batch * W
             return pipe
         if self.mode == "stream":
-            from finito_tpu.ops.streaming import auto_chunk, make_chain_stream_ranks
+            from finito_tpu.ops.streaming import make_chain_stream_ranks
 
             K = max(1024, int(batch * W * unknown_frac))
-            eff_chunk = self.chunk if self.chunk is not None else auto_chunk(k)
-            ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=eff_chunk)
+            ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=self.chunk)
 
             def _pipe(tab, C, ck, edge, lt, codes):
                 ranks, n_unknown = ranks_fn(tab, C, ck, edge, codes)

@@ -324,7 +324,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
         if cc_len is None:
             from finito_tpu.ops.streaming import auto_chunk
 
-            cc_len = auto_chunk(k)  # measured v5e knee; see its docstring
+            cc_len = auto_chunk(k, B, L)  # v5e lane-saturation rule
         if k <= cc_len < L:
             emit, cand, untrusted = (
                 unchunk_grid(g, B, L, k, cc_len)
