@@ -597,12 +597,14 @@ def sharded_lcs_fn(mesh: Mesh, sbwt):
         check_vma=False,
     )
     run = jax.jit(shmapped)
+    from finito_tpu.parallel.shard_build import _host, _put
+
     args = [
-        jax.device_put(x, NamedSharding(flat_mesh, spec))
+        _put(flat_mesh, x, spec)
         for x, spec in (
             (cur0, P("D")),
             (src_sh, P("D", None)),
             (dstl_sh, P("D", None)),
         )
     ]
-    return np.asarray(run(*args))[:n].astype(np.int64)
+    return _host(run(*args))[:n].astype(np.int64)

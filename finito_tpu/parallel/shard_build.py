@@ -55,6 +55,22 @@ from finito_tpu.sbwt.sbwt import PlainMatrixSBWT
 SENT32 = jnp.uint32(0xFFFFFFFF)
 
 
+def _host(x) -> np.ndarray:
+    """Host copy of a (possibly cross-process) mesh-sharded array. With
+    one process this is np.asarray; under multi-process SPMD the shards
+    on other hosts are not addressable, so gather them with a tiled
+    process_allgather (the control plane is small -- overflow counters,
+    per-shard counts -- except the final bit-rows/node assembly, whose
+    fully-distributed form is the sharded query path's job)."""
+    import jax as _jax
+
+    if _jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _resent(keys, mask):
     """Force rows where mask is True back to the sentinel (key algebra
     ops on sentinel rows produce valid-looking garbage otherwise)."""
@@ -121,7 +137,15 @@ def _flat_mesh(mesh_or_n) -> Mesh:
 
 
 def _put(mesh, x, spec):
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    """device_put onto a mesh sharding; under multi-process SPMD the
+    target sharding spans non-addressable devices, so build the global
+    array from the (host-replicated) value via make_array_from_callback
+    (the callback is only invoked for this process's shards)."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    xa = np.asarray(x)
+    return jax.make_array_from_callback(xa.shape, sh, lambda idx: xa[idx])
 
 
 def _put_shard_blocks(mesh, block_fn, spec):
@@ -263,7 +287,7 @@ def sharded_sbwt_build(
         shard_map(_sortA, mesh=mesh, in_specs=(P("D", None, None), rep),
                   out_specs=(P("D", None, None), P("D", None)))
     )(keys0, _put(mesh, spl1, rep))
-    M1 = max(1, int(np.asarray(counts).max()))  # exact: no overflow possible
+    M1 = max(1, int(_host(counts).max()))  # exact: no overflow possible
     R1 = S * M1
 
     # ---- phase B: window exchange + dedup -> distinct k-mers, sharded
@@ -276,8 +300,8 @@ def sharded_sbwt_build(
         shard_map(_phaseB, mesh=mesh, in_specs=(P("D", None, None), rep),
                   out_specs=(P("D", None, None), P("D"), P("D")))
     )(skeys, _put(mesh, spl1, rep))
-    assert int(np.asarray(ovfB).sum()) == 0
-    m_host = np.asarray(m_s).astype(np.int64)
+    assert int(_host(ovfB).sum()) == 0
+    m_host = _host(m_s).astype(np.int64)
     n_kmers = int(m_host.sum())
 
     # ---- phase C: sources ((k-1)-prefix not among (k-1)-suffixes)
@@ -303,10 +327,10 @@ def sharded_sbwt_build(
             shard_map(_phaseC, mesh=mesh, in_specs=(P("D", None, None), rep),
                       out_specs=(P("D", None), P("D"), P("D")))
         )(kmers, _put(mesh, spl2, rep))
-        if int(np.asarray(ovfC).sum()) == 0:
+        if int(_host(ovfC).sum()) == 0:
             break
         M2 *= 2
-    cap_src = max(1, int(np.asarray(n_src).max()))
+    cap_src = max(1, int(_host(n_src).max()))
 
     # ---- phase D: dummies + node sample-sort
     send_max = R1 + (k - 1) * cap_src + 1
@@ -343,10 +367,10 @@ def sharded_sbwt_build(
                       in_specs=(P("D", None, None), P("D", None), rep),
                       out_specs=(P("D", None, None), P("D"), P("D")))
         )(kmers, is_source, _put(mesh, spl1, rep))
-        if int(np.asarray(ovfD).sum()) == 0:
+        if int(_host(ovfD).sum()) == 0:
             break
         M3 *= 2
-    mn_host = np.asarray(mn_s).astype(np.int64)
+    mn_host = _host(mn_s).astype(np.int64)
     n_nodes = int(mn_host.sum())
     node_start = np.zeros(S, np.int32)
     node_start[1:] = np.cumsum(mn_host)[:-1].astype(np.int32)
@@ -421,20 +445,20 @@ def sharded_sbwt_build(
                       in_specs=(P("D", None, None), P("D"), P(None), rep),
                       out_specs=(P("D", None, None), P("D"), P("D")))
         )(nodes, mn_s, _put(mesh, node_start, P(None)), _put(mesh, spl2, rep))
-        if int(np.asarray(ovfE).sum()) == 0:
+        if int(_host(ovfE).sum()) == 0:
             break
         M4 *= 2
         M5 *= 2
-    if int(np.asarray(miss).sum()) != 0:
+    if int(_host(miss).sum()) != 0:
         raise AssertionError("sharded SBWT construction: missing predecessor group")
 
-    bits = np.asarray(bits_sh)  # (S, 4, capN)
+    bits = _host(bits_sh)  # (S, 4, capN)
     bit_rows = np.concatenate(
         [bits[s][:, : mn_host[s]] for s in range(S)], axis=1
     )
     sbwt = PlainMatrixSBWT.from_bit_rows(bit_rows, k=k, n_kmers=n_kmers)
     if return_keys:
-        planes = np.asarray(nodes)
+        planes = _host(nodes)
         segs = [planes[s, : mn_host[s]] for s in range(S)]
         node_keys = kj.to_host(np.concatenate(segs, axis=0))
         return sbwt, node_keys
@@ -696,14 +720,14 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
         _put(mesh, starts32, P(None)),
     )
     fin_col, local_end, order_g, g_end, valid_d, miss, ovfA, none_cnt = outs
-    if int(np.asarray(miss).sum()) != 0:
+    if int(_host(miss).sum()) != 0:
         raise AssertionError("sharded finimizer build: window k-mer missing "
                              "from the node set (input not a DSPSS?)")
-    assert int(np.asarray(ovfA).sum()) == 0  # capacities are exact
-    if int(np.asarray(none_cnt).sum()) != 0:
+    assert int(_host(ovfA).sum()) == 0  # capacities are exact
+    if int(_host(none_cnt).sum()) != 0:
         raise AssertionError("sharded finimizer build: window without a "
                              "candidate (impossible for a valid t=1 DSPSS)")
-    if int(np.asarray(local_end).max(initial=0)) >= (1 << 30):
+    if int(_host(local_end).max(initial=0)) >= (1 << 30):
         raise ValueError("unitig longer than 2^30: scatter key overflow")
 
     # ---- phase B: route rows to node owners, resolve the overwrite rule
@@ -756,13 +780,13 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
                       out_specs=(P("D", None), P("D", None), P("D")),
                       check_vma=False)
         )(fin_col, local_end, order_g, g_end, valid_d)
-        if int(np.asarray(ovfB).sum()) == 0:
+        if int(_host(ovfB).sum()) == 0:
             break
         M2 *= 2
 
-    fmin_bv = np.asarray(fmin_sh).reshape(-1)[:n_nodes].astype(np.uint8)
+    fmin_bv = _host(fmin_sh).reshape(-1)[:n_nodes].astype(np.uint8)
     global_offsets = (
-        np.asarray(glob_sh).reshape(-1)[:n_nodes].astype(np.int64).clip(0)
+        _host(glob_sh).reshape(-1)[:n_nodes].astype(np.int64).clip(0)
         .astype(np.uint64)
     )
     marked = np.flatnonzero(fmin_bv).astype(np.int64)

@@ -137,3 +137,35 @@ def test_two_process_tp_sharded_index():
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
         assert b"tp-sharded locate verified" in so
+
+
+def test_two_process_mesh_build():
+    """REAL cross-process CONSTRUCTION: 2 OS processes form a 4-device
+    global mesh and run sharded_sbwt_build + sharded_index_build as one
+    SPMD program; each rank packs only its own shards' window keys
+    (asserted inside the worker) and the result must equal the
+    single-host builders bit-for-bit."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "distributed_build_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(worker))),
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+        assert b"cross-process mesh build verified" in so
