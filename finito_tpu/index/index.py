@@ -45,6 +45,11 @@ class FinimizerIndex:
     global_offsets: np.ndarray  # uint64, one per set fmin bit, colex order
     offsets_width: int
     Ustart: np.ndarray  # uint8 0/1, length n_nodes
+    # set by parallel.shard_build.sharded_index_build: per-shard dense
+    # position slices ([(Mn,) int32 g_end per mesh shard], Mn) consumed
+    # by parallel.mesh.ShardedIndex.build; None for host-built/loaded
+    # indexes (not serialized -- a derived structure)
+    mesh_pos = None
 
     def __init__(self):
         self._fmin_rank = None

@@ -487,7 +487,8 @@ def _route_by_owner(own, payloads, S, M):
     return out, overflow
 
 
-def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 1.3):
+def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh,
+                             slack: float = 1.3, return_pos: bool = False):
     """Mesh finimizer selection: the O(text) stages of FinimizerIndexBuilder
     run sharded over the device mesh (the mesh twin of the host
     `_build_fast`, finito_tpu/index/builder.py; the algorithm itself is
@@ -641,8 +642,19 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
         wk, pcl, pcc, valid = wk_in[0], pcl_in[0], pcc_in[0], val_in[0]
         nodes_l, su_l = nodes_in[0], su_in[0]
         sid = lax.axis_index("D")
-        recv, _, ovf, orderx, slot, ok = _exchange(wk, spl_, S, M1)
+        ws_pay = sid * B + jnp.arange(B, dtype=jnp.int32)
+        recv, rpay, ovf, orderx, slot, ok = _exchange(
+            wk, spl_, S, M1, payloads=(ws_pay,)
+        )
         idx = kj.match_rows(recv, nodes_l, jnp.arange(Mn, dtype=jnp.int32))
+        # per-shard dense position table: the routed window's global END
+        # lands at its node's local slot (exactly one window per real
+        # node in a DSPSS; dummies stay -1) -- the single-host
+        # build_position_table device pass becomes a free by-product of
+        # the routing this phase already does (ShardedIndex.build)
+        pos_loc = jnp.full(Mn, -1, jnp.int32).at[
+            jnp.where(idx >= 0, idx, Mn)
+        ].set(rpay[0] + (k - 1), mode="drop")
         colex_a = jnp.where(idx >= 0, sid * Mn + idx, -1)
         su_a = jnp.where(idx >= 0, jnp.take(su_l, jnp.maximum(idx, 0)), -1)
         colex_b = _answers_back(colex_a, orderx, slot, ok, B, S, M1)
@@ -696,7 +708,7 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
         order_g = jnp.take(base_, sid) + jnp.cumsum(valid.astype(jnp.int32)) - 1
         return (
             fin_col[None], local_end[None], order_g[None], g_end[None],
-            valid[None], miss[None], ovf[None], none_cnt[None],
+            valid[None], pos_loc[None], miss[None], ovf[None], none_cnt[None],
         )
 
     outs = jax.jit(
@@ -704,7 +716,7 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
             _phaseA, mesh=mesh,
             in_specs=(P("D", None, None), P("D", None), P("D", None), P("D", None),
                       P("D", None, None), P("D", None), rep, P(None), P(None), P(None)),
-            out_specs=(P("D", None),) * 5 + (P("D"),) * 3,
+            out_specs=(P("D", None),) * 6 + (P("D"),) * 3,
             check_vma=False,
         )
     )(
@@ -719,7 +731,8 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
         _put(mesh, ends32, P(None)),
         _put(mesh, starts32, P(None)),
     )
-    fin_col, local_end, order_g, g_end, valid_d, miss, ovfA, none_cnt = outs
+    (fin_col, local_end, order_g, g_end, valid_d, pos_sh, miss, ovfA,
+     none_cnt) = outs
     if int(_host(miss).sum()) != 0:
         raise AssertionError("sharded finimizer build: window k-mer missing "
                              "from the node set (input not a DSPSS?)")
@@ -791,7 +804,19 @@ def sharded_finimizer_select(sbwt, LCS, packed, node_keys, mesh, slack: float = 
     )
     marked = np.flatnonzero(fmin_bv).astype(np.int64)
     stats_packed = np.sort((su[marked].astype(np.int64) << 41) | (marked << 1))
-    return fmin_bv, global_offsets, FinimizerStatsSet(stats_packed, n_nodes)
+    stats = FinimizerStatsSet(stats_packed, n_nodes)
+    if return_pos:
+        # per-shard dense position slices (colex blocks of width Mn),
+        # pulled shard by shard from the device array -- the input to
+        # ShardedIndex.build (parallel.mesh): no single-host device
+        # build_position_table pass is ever run on this path
+        pos_shards = [
+            np.asarray(sd.data).reshape(-1) for sd in sorted(
+                pos_sh.addressable_shards, key=lambda sd: sd.index[0].start or 0
+            )
+        ]
+        return fmin_bv, global_offsets, stats, (pos_shards, Mn)
+    return fmin_bv, global_offsets, stats
 
 
 def sharded_index_build(seqs, k: int, mesh=None, n_devices: Optional[int] = None):
@@ -820,10 +845,14 @@ def sharded_index_build(seqs, k: int, mesh=None, n_devices: Optional[int] = None
     )
     LCS = sharded_lcs_fn(mesh, sbwt)
     packed, ustart, _perm = permute_unitigs(sbwt, unitigs)
-    fmin_bv, global_offsets, stats = sharded_finimizer_select(
-        sbwt, LCS, packed, node_keys, mesh
+    fmin_bv, global_offsets, stats, mesh_pos = sharded_finimizer_select(
+        sbwt, LCS, packed, node_keys, mesh, return_pos=True
     )
     index = FinimizerIndex()
+    # per-shard dense position slices: lets ShardedIndex.build construct
+    # the tp-sharded SBWT-engine locate without a single-host
+    # build_position_table pass (VERDICT r3 item 7)
+    index.mesh_pos = mesh_pos
     index.sbwt = sbwt
     index.LCS = np.asarray(LCS, dtype=np.int64)
     index.lcs_width = bit_width_for_max(k - 1)

@@ -251,3 +251,54 @@ def test_sharded_finimizer_select_forced_reroute_overflow():
     np.testing.assert_array_equal(
         glob[fmin == 1].astype(np.uint64), want.global_offsets
     )
+
+
+def test_sharded_index_build_feeds_sharded_locate():
+    """ShardedIndex.build consumes the mesh build's per-shard position
+    slices (index.mesh_pos) -- no single-host build_position_table pass
+    -- and must equal from_index's tables AND the host oracle's answers
+    through the tp-sharded locate."""
+    import jax
+
+    from tests.test_device_engine import gen_dspss
+    from finito_tpu.io.seqdb import decode_seq, encode_seq
+    from finito_tpu.parallel.mesh import (
+        ShardedIndex,
+        make_mesh,
+        sharded_locate_fn,
+    )
+    from finito_tpu.parallel.shard_build import sharded_index_build
+    from finito_tpu.query.engine import DeviceQueryEngine
+
+    rng = np.random.default_rng(88)
+    k = 7
+    spss = [s.encode() for s in gen_dspss(rng, 14, k, k + 40, k)]
+    index = sharded_index_build(spss, k, n_devices=8)
+    assert index.mesh_pos is not None
+
+    tp = 2
+    built = ShardedIndex.build(index, tp=tp)
+    # field-for-field equality with the dense-engine-backed constructor
+    eng = DeviceQueryEngine(index, mode="dense")
+    ref = ShardedIndex.from_index(index, np.asarray(eng.pos_table), tp=tp)
+    np.testing.assert_array_equal(built.words, ref.words)
+    np.testing.assert_array_equal(built.blocks, ref.blocks)
+    np.testing.assert_array_equal(built.loc_table, ref.loc_table)
+    np.testing.assert_array_equal(built.node_start, ref.node_start)
+
+    # end-to-end: tp-sharded locate over the shard-locally built tables
+    mesh = make_mesh(8, tp=tp)
+    locate = sharded_locate_fn(mesh, built)
+    B, L = 8, 40
+    reads = np.zeros((B, L), np.uint8)
+    for b in range(B):
+        u = encode_seq(spss[b % len(spss)])
+        reads[b, : min(L, u.size)] = u[:L]
+        if b % 2:
+            reads[b, 5] = (reads[b, 5] + 1) % 4
+    uid, off = locate(reads)
+    uid, off = np.asarray(uid), np.asarray(off)
+    W = L - k + 1
+    for b in range(B):
+        exp = index.search(decode_seq(reads[b])).local_offsets
+        assert [(int(uid[b, w]), int(off[b, w])) for w in range(W)] == exp
