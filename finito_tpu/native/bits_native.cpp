@@ -15,6 +15,25 @@
 #include <cstdint>
 #include <cstring>
 
+// words -> out[n] unsigned elements; inverse of fin_pack_values. Narrow
+// outputs let the caller touch width-matched bytes instead of 8
+// bytes/element (first-touch page faults on the microVM hosts cost ~2
+// orders of magnitude more than the decode itself). Caller guarantees
+// width <= 8*sizeof(T). (Template: must live outside the extern "C"
+// block -- templates cannot have C linkage.)
+template <typename T>
+static void unpack_to(const uint64_t* words, int64_t n, int64_t width, T* out) {
+    const uint64_t mask = (width == 64) ? ~0ULL : ((1ULL << width) - 1);
+    int64_t bit = 0;
+    for (int64_t i = 0; i < n; ++i, bit += width) {
+        const int64_t w = bit >> 6;
+        const int off = (int)(bit & 63);
+        uint64_t v = words[w] >> off;
+        if (off + width > 64) v |= words[w + 1] << (64 - off);
+        out[i] = (T)(v & mask);
+    }
+}
+
 extern "C" {
 
 // values[n] (each < 2^width) -> out_words[ceil(n*width/64)] (pre-zeroed
@@ -39,24 +58,7 @@ void fin_pack_values(const uint64_t* values, int64_t n, int64_t width,
     }
 }
 
-// words -> out[n] unsigned elements of out_bytes (1/2/4/8) each; inverse
-// of fin_pack_values. Narrow outputs let the caller touch width-matched
-// bytes instead of 8 bytes/element (first-touch page faults on the
-// microVM hosts cost ~2 orders of magnitude more than the decode
-// itself). Caller guarantees width <= 8*out_bytes.
-template <typename T>
-static void unpack_to(const uint64_t* words, int64_t n, int64_t width, T* out) {
-    const uint64_t mask = (width == 64) ? ~0ULL : ((1ULL << width) - 1);
-    int64_t bit = 0;
-    for (int64_t i = 0; i < n; ++i, bit += width) {
-        const int64_t w = bit >> 6;
-        const int off = (int)(bit & 63);
-        uint64_t v = words[w] >> off;
-        if (off + width > 64) v |= words[w + 1] << (64 - off);
-        out[i] = (T)(v & mask);
-    }
-}
-
+// out_bytes selects the output element type (1/2/4/8).
 void fin_unpack_values(const uint64_t* words, int64_t n, int64_t width,
                        int64_t out_bytes, void* out_values) {
     if (width == 64 && out_bytes == 8) {
