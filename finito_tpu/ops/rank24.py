@@ -179,6 +179,60 @@ def build_contract_k_table(LCS: np.ndarray, k: int) -> np.ndarray:
     return np.stack([lo, hi], axis=1).astype(np.int32)
 
 
+_NO_CAND = 255  # candidate-length sentinel shared by the scan engines
+
+
+def build_su_table(LCS: np.ndarray) -> np.ndarray:
+    """SU[x] = max(LCS[x], LCS[x+1]) + 1: length of the shortest unique
+    suffix whose singleton interval is {x} (pad LCS[n] = 0). Closed form
+    of the reference's shrink-from-the-left loop (common.hh:145-154)."""
+    a = np.asarray(LCS, dtype=np.int64)
+    nxt = np.concatenate([a[1:], [0]])
+    su = np.maximum(a, nxt) + 1
+    if np.any(su >= _NO_CAND):
+        raise ValueError("SU table requires k <= 254")
+    return su.astype(np.uint8)
+
+
+def build_su_ustart_table(LCS: np.ndarray, Ustart: np.ndarray) -> np.ndarray:
+    """uint16 per node: SU length (low 8 bits) | Ustart bit << 8 -- one
+    gather serves both the candidate closed form and the branch carry."""
+    su = build_su_table(LCS).astype(np.uint16)
+    return su | (np.asarray(Ustart, np.uint16) << np.uint16(8))
+
+
+EDGE_AUG_MIN = 1 << 25  # cand values >= this carry inline (su, ustart)
+EDGE_NODE_MASK = (1 << 24) - 1
+
+
+def can_augment_edges(n_nodes: int, k: int) -> bool:
+    """Augmented edge entries pack su (6 bits, su <= k <= 63) | ustart
+    (1 bit) | node (24 bits) into a positive int32 -- possible exactly
+    when the flat rank24 form applies and k <= 63."""
+    return n_nodes < RANK24_MAX_NODES and k <= 63
+
+
+def build_edge_aug_table(
+    bit_rows: np.ndarray, C, contract_k: np.ndarray,
+    LCS: np.ndarray, Ustart: np.ndarray,
+) -> np.ndarray:
+    """Forward-edge table with the TARGET node's (SU, Ustart) packed into
+    bits [25:31] and [24]: the chain scan gathers the edge entry anyway,
+    so the per-position suu lookup that fed the replica tail's candidate
+    grid (a full (B, L) gather) becomes free. Entries stay -1 when the
+    slid k-mer is absent; requires can_augment_edges (the target node id
+    fits 24 bits and SU <= 63 fits 6, keeping entries positive int32)."""
+    base = build_edge_table(bit_rows, C, contract_k)
+    n = bit_rows.shape[1]
+    su = build_su_table(LCS).astype(np.int32)
+    if n >= RANK24_MAX_NODES or (su.size and int(su.max()) > 63):
+        raise ValueError("index too large or k too big for augmented edges")
+    us = np.asarray(Ustart, np.int32)
+    tgt = np.where(base >= 0, base, 0)
+    aug = base | (su[tgt] << 25) | (us[tgt] << 24)
+    return np.where(base >= 0, aug, base).astype(np.int32)
+
+
 def build_edge_table(bit_rows: np.ndarray, C, contract_k: np.ndarray) -> np.ndarray:
     """(4n,) int32 forward-edge automaton: edge[4x + c] = colex rank of
     the k-mer obtained by sliding the window of k-mer x one base (drop

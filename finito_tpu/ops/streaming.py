@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from finito_tpu.ops.rank24 import update_interval24
+from finito_tpu.ops.rank24 import update_interval24, widen_interval
 
 UNKNOWN = -2
 
@@ -206,6 +206,296 @@ def make_chain_scan(n8: int, k: int, n_nodes: int):
     return run
 
 
+def make_chain_opt(n8: int, k: int, n_nodes: int, aug: bool = False):
+    """Optimistic hybrid chain producing repairable untrusted RUNS.
+
+    run(tab, C, edge, codes) -> (emit, cand, untrusted), each (B, L):
+      emit:  >= 0 trusted node rank of the k-mer ending at j; -1 trusted
+             definitive absent; -2 meaningless (covered by untrusted or
+             by the pre-window prefix j < k-1).
+      cand:  -1 none; else the singleton node of the longest tracked
+             suffix ending at j -- raw (< 2^24) at immature positions,
+             or, when `aug` (edge built by rank24.build_edge_aug_table),
+             the augmented (su << 25 | ustart << 24 | node) entry at
+             mature positions.
+      untrusted: position needs exact repair (make_segment_repair). The
+             bound is j - k <= lastfail: one position PAST the k-1
+             post-failure shadow, so the re-maturing immature close is
+             repaired too and every trusted position >= k is either
+             mature (augmented) or -1 -- the invariant the replica tail's
+             gather-free candidate unpack relies on.
+
+    Same hybrid automaton as the reference's streaming scan collapsed to
+    a forward-edge table (ref common.hh:78-186, see build_edge_table):
+    immature lanes track the SBWT interval (2 rank gathers/step); at the
+    first window close the lane follows edge[4x + c] (1 gather/step).
+    """
+    NEG = jnp.int32(-1)
+
+    def run(tab, C, edge, codes):
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
+
+        B, L = codes.shape
+
+        def step(carry, c):
+            lo, hi, ks, x, lastfail, j = carry
+            invalid = c > 3
+            em = x >= 0  # mature: x = node of the k-mer ending at j-1
+            xe_raw = jnp.take(edge, jnp.where(em, x * 4 + jnp.where(invalid, 0, c), 0))
+            e_found = em & ~invalid & (xe_raw >= 0)
+            xe = (xe_raw & ((1 << 24) - 1)) if aug else xe_raw
+            nlo, nhi = upd(c, lo, hi)
+            failed = invalid | (nlo < 0)
+            mature = ks == j - k + 1
+            close = ~em & ~failed & (j - ks + 1 == k)
+            emit_i = jnp.where(
+                close, nlo, jnp.where(failed & mature & ~invalid, NEG, jnp.int32(UNKNOWN))
+            )
+            emit_i = jnp.where(invalid, NEG, emit_i)
+            emit = jnp.where(em, jnp.where(e_found, xe, NEG), emit_i)
+            single_i = ~failed & (nlo == nhi)
+            cand = jnp.where(
+                em,
+                jnp.where(e_found, xe_raw, NEG),
+                jnp.where(single_i, nlo, NEG),
+            )
+            any_fail = jnp.where(em, ~e_found, failed)
+            lastfail2 = jnp.where(any_fail, j, lastfail)
+            untrusted = j - k <= lastfail2
+
+            x2 = jnp.where(e_found, xe, jnp.where(close, nlo, jnp.int32(-1)))
+            lo2 = jnp.where(failed | em, 0, nlo)
+            hi2 = jnp.where(failed | em, n_nodes - 1, nhi)
+            ks2 = jnp.where(any_fail, j + 1, jnp.where(em | close, j - k + 2, ks))
+            return (lo2, hi2, ks2, x2, lastfail2, j + 1), (emit, cand, untrusted)
+
+        init = (
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, n_nodes - 1, jnp.int32),
+            jnp.zeros(B, jnp.int32),
+            jnp.full(B, -1, jnp.int32),
+            jnp.full(B, -(k + 2), jnp.int32),
+            jnp.int32(0),
+        )
+        _, outs = lax.scan(step, init, codes.astype(jnp.int32).T)
+        return tuple(o.T for o in outs)  # each (B, L)
+
+    return run
+
+
+def make_segment_repair(
+    n8: int, k: int, n_nodes: int, K_seg: int, Q: int | None = None,
+    aug: bool = False,
+):
+    """Exact repair of untrusted runs with the reference's recovery
+    state machine (drop_first_char widening, ref common.hh:116-127),
+    restructured from the round-4 form for gather throughput and
+    while-loop trip count:
+
+      * a RUN-START segment at p_start >= k needs no warm-up: its
+        predecessor position is always a trusted FOUND window (a trusted
+        -1 is impossible -- a failure marks its own position untrusted),
+        so the exact chain state entering p_start is the post-close
+        slide (ks = p_start-k+1, interval = contract_k[emit[p_start-1]])
+        -- one row gather replaces the k-1-step from-scratch preamble
+        that dominated the round-4 repair's trip count;
+      * runs are SPLIT every Q payload positions (the state at any
+        position is a function of the last k-1 characters, so a split
+        re-derives context from a k-1 preamble exactly like
+        chunk_reads); trip count is bounded by ~k-1+Q regardless of how
+        long a run a clustered-failure read produces;
+      * per-step values land in (K_seg, Q) lane-local buffers scattered
+        into the (B, L) grids ONCE after the loop -- the round-4 form
+        scattered the full B*L arrays every iteration (~8 MB per step at
+        8192x128, measured 79 of 167 ms in the replica profile);
+      * the untrusted flag rides bit 8 of the character gather (one
+        packed gather per iteration instead of separate code and
+        trust-boundary gathers), and the LCS-widening hops only run on
+        iterations where some lane is mid-recovery (lax.cond skip).
+
+    run(tab, C, ck, jl, jr, suu, codes, emit, cand, untrusted) ->
+    (emit2, cand2, n_seg); results valid only when n_seg <= K_seg.
+    With `aug`, repaired cand values are written in the augmented
+    (su << 25 | ustart << 24 | node) form (one K_seg-sized suu gather
+    per iteration) so the caller's candidate unpack stays gather-free.
+    """
+    if Q is None:
+        Q = k + 1  # an isolated failure's run is exactly k+1 positions
+    NEG = jnp.int32(-1)
+
+    def run(tab, C, ck, jl, jr, suu, codes, emit, cand, untrusted):
+        def upd(c, lo, hi):
+            return update_interval24(tab, n8, C, c, lo, hi)
+
+        B, L = codes.shape
+        u = untrusted
+        # bit 8 of the packed stream = untrusted flag at that position
+        pk = codes.reshape(-1).astype(jnp.int32) | (
+            u.reshape(-1).astype(jnp.int32) << 8
+        )
+        prev = jnp.concatenate([jnp.zeros((B, 1), jnp.bool_), u[:, :-1]], axis=1)
+        is_start = u & ~prev
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        # run starts are increasing within a read, so a cummax propagates
+        # each run's start over the run; split every Q positions
+        rs = lax.cummax(jnp.where(is_start, jpos, -1), axis=1)
+        split = u & ((jpos - rs) % Q == 0)
+        seg_idx, n_seg = compact_mask(split.reshape(-1), K_seg)
+        sv = seg_idx >= 0
+        f_start = jnp.where(sv, seg_idx, 0)
+        b_of = f_start // L
+        p_start = f_start - b_of * L
+        p_end = jnp.minimum(p_start + Q, L)
+
+        # fast path: run-start segments past the read head seed from the
+        # trusted predecessor's post-close slide state
+        run_start = jnp.take(is_start.reshape(-1), f_start)
+        x_prev = jnp.take(emit.reshape(-1), jnp.maximum(f_start - 1, 0))
+        fast = sv & run_start & (p_start >= k) & (x_prev >= 0)
+        pair0 = jnp.take(ck, jnp.where(fast, x_prev, 0), axis=0)
+        j0 = jnp.where(fast, p_start, jnp.maximum(p_start - (k - 1), 0))
+        lo0 = jnp.where(fast, pair0[:, 0], 0)
+        hi0 = jnp.where(fast, pair0[:, 1], n_nodes - 1)
+        ks0 = jnp.where(fast, p_start - k + 1, j0)
+        arangeK = jnp.arange(K_seg, dtype=jnp.int32)
+
+        def body(st):
+            j, ks, lo, hi, rec, wx, wy, active, buf_e, buf_c = st
+            fj = b_of * L + jnp.minimum(j, L - 1)
+            pc = jnp.where(active, jnp.take(pk, fj), 0)
+            c = pc & 0xFF
+            # retire lanes that walked past their payload or onto a
+            # trusted position (recovering lanes sit on untrusted ones)
+            active = active & (j < p_end) & ((j <= p_start) | (pc >= 256))
+            invalid = active & (c > 3)
+            mid = active & (rec > 0)  # rec: 0 none, 1 fresh drop, 2 hopping
+
+            # --- recovery: plateau-jump drops + LCS-widening hops ------
+            # Suffix lengths inside one LCS plateau share the interval,
+            # so the one-at-a-time drop loop (ref common.hh:116-127)
+            # re-fails the identical extension until the next plateau;
+            # jumping straight to max(LCS[lo], LCS[hi+1]) -- the largest
+            # length that changes the interval -- is output-equivalent
+            # and visits only distinct intervals (~3-5 per failure vs up
+            # to k). The jump length comes free from the first hop
+            # gathers. Two hop rounds per iteration; a deeper widen
+            # stalls its lane one more iteration (the round-4 form ran
+            # widen_interval's two inner while_loops here: ~190 us fixed
+            # overhead per while iteration on v5e, see bench_micro).
+            def hop_branch(ops):
+                x, y, ks_in = ops
+                el0 = jnp.take(jl, jnp.where(mid, x, 0))
+                er0 = jnp.take(jr, jnp.where(mid, y, 0))
+                lcsL = (el0 & jnp.uint32(0xFF)).astype(jnp.int32)
+                lcsR = (er0 & jnp.uint32(0xFF)).astype(jnp.int32)
+                fresh = mid & (rec == 1)
+                nlen = jnp.where(fresh, jnp.maximum(lcsL, lcsR), j - ks_in)
+                ks2 = jnp.where(fresh, j - nlen, ks_in)
+                hl = mid & (x > 0) & (lcsL >= nlen)
+                x = jnp.where(hl, x - (el0 >> jnp.uint32(8)).astype(jnp.int32), x)
+                hr = mid & (y < n_nodes) & (lcsR >= nlen)
+                y = jnp.where(hr, y + (er0 >> jnp.uint32(8)).astype(jnp.int32), y)
+                el = jnp.take(jl, jnp.where(mid, x, 0))
+                er = jnp.take(jr, jnp.where(mid, y, 0))
+                hl2 = mid & (x > 0) & ((el & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
+                x = jnp.where(hl2, x - (el >> jnp.uint32(8)).astype(jnp.int32), x)
+                hr2 = mid & (y < n_nodes) & ((er & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
+                y = jnp.where(hr2, y + (er >> jnp.uint32(8)).astype(jnp.int32), y)
+                return x, y, hl2, hr2, ks2, nlen
+
+            def hop_skip(ops):
+                x, y, ks_in = ops
+                f = jnp.zeros_like(mid)
+                return x, y, f, f, ks_in, j - ks_in
+
+            x2, y2, hl, hr, ks_h, nlen = lax.cond(
+                jnp.any(mid), hop_branch, hop_skip, (wx, wy, ks)
+            )
+            zero_len = mid & (nlen <= 0)  # widen to the empty suffix: full
+            done = (mid & ~hl & ~hr) | zero_len
+            still = mid & ~done
+            lo_c = jnp.where(done, jnp.where(zero_len, 0, x2), lo)
+            hi_c = jnp.where(done, jnp.where(zero_len, n_nodes - 1, y2 - 1), hi)
+
+            # --- extension (stalled lanes excluded; completed widens
+            # retry with the same character this iteration) ---
+            can_ext = active & ~still
+            nlo, nhi = upd(jnp.where(invalid, 0, c), lo_c, hi_c)
+            ok = can_ext & ~invalid & (nlo >= 0)
+            fail = can_ext & ~invalid & (nlo < 0)
+            emptied = fail & (ks_h >= j)   # empty suffix failed: consume c
+            start_w = fail & ~emptied      # fresh drop: jump next round
+
+            single = ok & (nlo == nhi)
+            close = ok & (j - ks_h + 1 == k)
+            advance = active & (ok | invalid | emptied)
+            write = advance & (j >= p_start)
+            rank_j = jnp.where(close, nlo, NEG)
+            if aug:
+                sw = jnp.take(suu, jnp.where(single, nlo, 0)).astype(jnp.int32)
+                cand_j = jnp.where(
+                    single,
+                    ((sw & 0xFF) << 25) | ((sw >> 8) << 24) | nlo,
+                    NEG,
+                )
+            else:
+                cand_j = jnp.where(single, nlo, NEG)
+            loc = jnp.where(write, j - p_start, Q)
+            # two scalar scatters: a fused (K, 2)-row scatter measures 6x
+            # slower on v5e (400 vs 125 us/step, see bench_micro)
+            buf_e = buf_e.at[arangeK, loc].set(rank_j, mode="drop")
+            buf_c = buf_c.at[arangeK, loc].set(cand_j, mode="drop")
+
+            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
+            lo2 = jnp.where(close, pair[:, 0], jnp.where(ok, nlo, lo_c))
+            hi2 = jnp.where(close, pair[:, 1], jnp.where(ok, nhi, hi_c))
+            lo3 = jnp.where(invalid | emptied, 0, lo2)
+            hi3 = jnp.where(invalid | emptied, n_nodes - 1, hi2)
+            ks2 = jnp.where(close, ks_h + 1, ks_h)
+            ks3 = jnp.where(invalid | emptied, j + 1, ks2)
+
+            wx2 = jnp.where(start_w, lo_c, jnp.where(still, x2, wx))
+            wy2 = jnp.where(start_w, hi_c + 1, jnp.where(still, y2, wy))
+            rec2 = jnp.where(start_w, 1, jnp.where(still, 2, 0)).astype(jnp.int32)
+            j2 = jnp.where(advance, j + 1, j)
+            return j2, ks3, lo3, hi3, rec2, wx2, wy2, active, buf_e, buf_c
+
+        st = (
+            j0,
+            ks0,
+            lo0,
+            hi0,
+            jnp.zeros(K_seg, jnp.int32),
+            jnp.zeros(K_seg, jnp.int32),
+            jnp.zeros(K_seg, jnp.int32),
+            sv,
+            jnp.full((K_seg, Q + 1), NEG, jnp.int32),
+            jnp.full((K_seg, Q + 1), NEG, jnp.int32),
+        )
+        # Fixed-trip scan covers every lane's bounded walk (k-1 preamble
+        # + Q payload + a stall allowance for recovery retries): a
+        # while_loop iteration carries ~190 us of fixed overhead on v5e
+        # where a scan step with the same body costs ~80 (bench_micro),
+        # so the common case never evaluates a dynamic cond. The rare
+        # stall-heavy lanes (clustered drops, deep widens) finish in a
+        # straggler while_loop that usually sees zero active lanes.
+        import os as _os
+        T = int(_os.environ.get('FINITO_REPAIR_T', (k - 1) + Q + 8))
+        st = lax.scan(lambda s, _: (body(s), None), st, None, length=T)[0]
+        st = lax.while_loop(lambda s: jnp.any(s[7]), body, st)
+        jf, buf_e, buf_c = st[0], st[8], st[9]
+
+        cols = jnp.arange(Q, dtype=jnp.int32)[None, :]
+        wrote = sv[:, None] & (cols < (jf - p_start)[:, None])
+        idx = jnp.where(wrote, f_start[:, None] + cols, B * L)
+        emit2 = emit.reshape(-1).at[idx].set(buf_e[:, :Q], mode="drop").reshape(B, L)
+        cand2 = cand.reshape(-1).at[idx].set(buf_c[:, :Q], mode="drop").reshape(B, L)
+        return emit2, cand2, n_seg
+
+    return run
+
+
 def make_window_verifier(n8: int, k: int, n_nodes: int):
     """Phase B. run(tab, C, codes_flat, starts, valid): verify a compacted
     set of windows by plain extension with early exit. starts are flat
@@ -241,43 +531,45 @@ def make_window_verifier(n8: int, k: int, n_nodes: int):
 
 
 def make_chain_stream_ranks(n8: int, k: int, n_nodes: int, K: int, chunk: int | None = None):
-    """Fully device-resident two-phase pipeline (single dispatch).
+    """Fully device-resident two-phase rank pipeline (single dispatch).
 
-    Returns run(tab, C, contract_k, edge, codes) -> ((B, W) ranks,
-    n_unknown). K bounds the number of UNKNOWN windows verified
-    on-device; if n_unknown > K the caller MUST re-run with a larger K
-    (unverified windows must never be reported). n_unknown also lets
-    callers right-size K for steady-state workloads. chunk (None = auto:
-    auto_chunk at trace time from the batch shape; 0 = whole reads)
-    splits each read into k-1-overlapped chunks scanned as extra lanes
-    (see chunk_reads); exactness is unaffected, UNKNOWN count can only
-    grow (chunk-local failures), and every UNKNOWN is re-verified."""
-    chain = make_chain_scan(n8, k, n_nodes)
-    verify = make_window_verifier(n8, k, n_nodes)
+    Returns run(tab, C, contract_k, jl, jr, edge, codes) -> ((B, W)
+    ranks, n_seg). K bounds the number of repaired SEGMENTS (untrusted
+    runs split at 2k payload positions, see make_segment_repair); if
+    n_seg > K the caller MUST re-run with a larger K (unrepaired windows
+    must never be reported). n_seg also lets callers right-size K for
+    steady-state workloads.
 
-    def run(tab, C, contract_k, edge, codes):
+    Round-4 form verified each UNKNOWN window independently (2k gathers
+    per window); since every absent window is unknown to the optimistic
+    chain, an absent-heavy batch (14% at the bench's 0.5% mutation rate)
+    cost ~60 ms/batch in verification alone. The segment repair walks
+    each untrusted RUN once with the exact recovery automaton instead:
+    ~2 gathers per repaired position, and a k-1-window of absent k-mers
+    is one ~2k-step segment, not 30 independent 62-gather verifies.
+
+    chunk (None = auto: auto_chunk at trace time from the batch shape;
+    0 = whole reads) splits each read into k-1-overlapped chunks scanned
+    as extra lanes (see chunk_reads); exactness is unaffected, untrusted
+    runs can only grow (chunk-local failures), and every untrusted
+    position is re-derived exactly by the repair."""
+    chain = make_chain_opt(n8, k, n_nodes, aug=False)
+    repair = make_segment_repair(n8, k, n_nodes, K, aug=False)
+
+    def run(tab, C, contract_k, jl, jr, edge, codes):
         B, L = codes.shape
         W = L - k + 1
         eff = auto_chunk(k, B, L) if chunk is None else chunk
         if k <= eff < L:
-            status = unchunk_grid(
-                chain(tab, C, contract_k, edge, chunk_reads(codes, k, eff)),
-                B, L, k, eff,
-            )[:, k - 1 :]
+            emit, cand, untrusted = (
+                unchunk_grid(g, B, L, k, eff)
+                for g in chain(tab, C, edge, chunk_reads(codes, k, eff))
+            )
         else:
-            status = chain(tab, C, contract_k, edge, codes)[:, k - 1 :]  # (B, W)
-        mask = (status == UNKNOWN).reshape(-1)
-        flat_idx, n_unknown = compact_mask(mask, K)
-        valid = flat_idx >= 0
-        lane = jnp.where(valid, flat_idx, 0) // W
-        w = jnp.where(valid, flat_idx, 0) % W
-        starts = (lane * L + w).astype(jnp.int32)
-        verified = verify(tab, C, codes.reshape(-1), starts, valid)
-        status_flat = status.reshape(-1)
-        # fill index B*W is out of bounds and dropped (negative would wrap!)
-        status_flat = status_flat.at[jnp.where(valid, flat_idx, B * W)].set(
-            verified, mode="drop"
+            emit, cand, untrusted = chain(tab, C, edge, codes)
+        emit, _, n_seg = repair(
+            tab, C, contract_k, jl, jr, None, codes, emit, cand, untrusted
         )
-        return status_flat.reshape(B, W), n_unknown
+        return emit[:, k - 1 :], n_seg
 
     return run

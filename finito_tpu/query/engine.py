@@ -172,6 +172,7 @@ class DeviceQueryEngine:
             from finito_tpu.ops.rank24 import (
                 build_contract_k_table,
                 build_edge_table,
+                build_lcs_jump_tables,
                 build_rank24_tables,
             )
             from finito_tpu.ops.streaming import make_chain_stream_ranks
@@ -187,12 +188,14 @@ class DeviceQueryEngine:
             C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
             ck_np = build_contract_k_table(index.LCS, self.k)
             ck = jnp.asarray(ck_np)
+            jl_np, jr_np = build_lcs_jump_tables(index.LCS)
+            jl, jr = jnp.asarray(jl_np), jnp.asarray(jr_np)
             edge = jnp.asarray(
                 build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np)
             )
             n_nodes = index.sbwt.number_of_subsets()
             self._tab, self._n8, self._C, self._ck, self._n_nodes = tab, n8, C, ck, n_nodes
-            self._edge = edge
+            self._edge, self._jl, self._jr = edge, jl, jr
             loc_table = self.loc_table
             k = self.k
             stream_cache = {}
@@ -203,18 +206,20 @@ class DeviceQueryEngine:
             def make_stream(K):
                 ranks_fn = make_chain_stream_ranks(n8, k, n_nodes, K, chunk=eff_chunk)
 
-                def f(tab, C, ck, edge, loc_table, codes):
-                    ranks, n_unknown = ranks_fn(tab, C, ck, edge, codes)
+                def f(tab, C, ck, jl, jr, edge, loc_table, codes):
+                    ranks, n_seg = ranks_fn(tab, C, ck, jl, jr, edge, codes)
                     uid, off = _ranks_to_locations(loc_table, ranks)
-                    return uid, off, n_unknown > K
+                    return uid, off, n_seg > K
 
                 jf = jax.jit(f)
-                return lambda codes: jf(tab, C, ck, edge, loc_table, codes)
+                return lambda codes: jf(tab, C, ck, jl, jr, edge, loc_table, codes)
 
             def locate_stream(codes):
                 B, L = codes.shape
                 W = L - k + 1
-                K = max(1024, (B * W) // 8)
+                # K bounds repaired SEGMENTS (untrusted runs split at 2k
+                # payload positions), not windows: far fewer than W per read
+                K = max(1024, (B * W) // 64)
                 while True:
                     if K not in stream_cache:
                         stream_cache[K] = make_stream(K)
@@ -222,7 +227,7 @@ class DeviceQueryEngine:
                     if not bool(overflow):
                         return uid, off
                     if K >= B * W:
-                        raise AssertionError("unknown-window overflow at K == B*W")
+                        raise AssertionError("segment overflow at K == B*W")
                     K = min(B * W, K * 4)
 
             self._locate = locate_stream
@@ -456,16 +461,17 @@ class DeviceQueryEngine:
             K = max(1024, int(batch * W * unknown_frac))
             ranks_fn = make_chain_stream_ranks(self._n8, k, self._n_nodes, K, chunk=self.chunk)
 
-            def _pipe(tab, C, ck, edge, lt, codes):
-                ranks, n_unknown = ranks_fn(tab, C, ck, edge, codes)
+            def _pipe(tab, C, ck, jl, jr, edge, lt, codes):
+                ranks, n_seg = ranks_fn(tab, C, ck, jl, jr, edge, codes)
                 uid, off = _ranks_to_locations(lt, ranks)
-                return uid, off, n_unknown
+                return uid, off, n_seg
 
             jitted = jax.jit(_pipe)
             tab, C, ck, edge = self._tab, self._C, self._ck, self._edge
+            jl, jr = self._jl, self._jr
 
             def pipe(codes):
-                return jitted(tab, C, ck, edge, loc_table, codes)
+                return jitted(tab, C, ck, jl, jr, edge, loc_table, codes)
 
             pipe.K = K
             return pipe

@@ -6,10 +6,12 @@ This is FinimizerIndex::search (FinimizerIndex.hh:119-185) +
 rarest_fmin_streaming_search (common.hh:78-186) re-shaped for the TPU.
 Two forms live here:
 
-  * make_replica_locate_v2 (the production form, 3.5 M q/s measured):
-    two-phase -- an optimistic chain scan with no inner loops, plus ONE
-    post-scan while_loop repairing compacted failure segments with the
-    exact recovery state machine (see its docstring).
+  * make_replica_locate_v2 (the production form): two-phase -- the
+    shared optimistic chain scan (ops.streaming.make_chain_opt) with no
+    inner loops, plus ONE post-scan while_loop repairing compacted,
+    split untrusted segments with the exact recovery state machine
+    (ops.streaming.make_segment_repair); dictionary resolution fused to
+    one row gather per window (build_resolution_table).
   * make_replica_locate (the in-scan reference twin, kept as the
     differential arbiter; 0.86 M q/s): one exact chain scan whose k-mer
     interval evolves exactly like the reference's: extension, and on
@@ -51,27 +53,17 @@ import numpy as np
 from jax import lax
 
 from finito_tpu.ops.rank24 import (
+    _NO_CAND,
     build_contract_k_table,
     build_edge_table,
     build_lcs_jump_tables,
     build_rank24_tables,
+    build_su_table,
+    build_su_ustart_table,
     update_interval24,
     widen_interval,
 )
 from finito_tpu.ops.streaming import compact_mask
-
-_NO_CAND = 255  # cand_len sentinel (k <= 250 < 255)
-
-
-def build_su_table(LCS: np.ndarray) -> np.ndarray:
-    """SU[x] = max(LCS[x], LCS[x+1]) + 1: length of the shortest unique
-    suffix whose singleton interval is {x} (pad LCS[n] = 0)."""
-    a = np.asarray(LCS, dtype=np.int64)
-    nxt = np.concatenate([a[1:], [0]])
-    su = np.maximum(a, nxt) + 1
-    if np.any(su >= _NO_CAND):
-        raise ValueError("SU table requires k <= 254")
-    return su.astype(np.uint8)
 
 
 def rank1(tab, i):
@@ -82,13 +74,6 @@ def rank1(tab, i):
         return (e[..., 0] + lax.population_count(e[..., 1] & mask)).astype(jnp.int32)
     e = jnp.take(tab, i >> 3)
     return ((e >> jnp.uint32(8)) + lax.population_count(e & mask)).astype(jnp.int32)
-
-
-def build_su_ustart_table(LCS: np.ndarray, Ustart: np.ndarray) -> np.ndarray:
-    """uint16 per node: SU length (low 8 bits) | Ustart bit << 8 -- one
-    gather serves both the candidate closed form and the branch carry."""
-    su = build_su_table(LCS).astype(np.uint16)
-    return su | (np.asarray(Ustart, np.uint16) << np.uint16(8))
 
 
 def build_uend_table(ends) -> np.ndarray:
@@ -104,20 +89,59 @@ def build_uend_table(ends) -> np.ndarray:
     return build_rank24_tables(bits[None, :])
 
 
+def build_resolution_table(fmin, global_offsets, Ustart, ends) -> "np.ndarray":
+    """(n, 2) int32 rows [ustart_gstart, fin_gend]: the branch- and
+    finimizer-dictionary lookups (ref common.hh:61-72) with their rank
+    indirections precomputed per node, so the query tail resolves a
+    window with ONE row gather (plus the uid rank) instead of four
+    scalar gathers (rank over Ustart + ends, rank over fmin + offsets).
+
+      ustart_gstart[x] = ends[rank_Ustart(x) - 1] (0 for the first
+          unitig): start of the unitig whose first k-mer has colex x;
+          meaningful only at Ustart nodes, gather-safe elsewhere.
+      fin_gend[x] = global_offsets[rank_fmin(x)]: global end of the
+          canonical occurrence of the finimizer with colex x; meaningful
+          only at fmin nodes.
+
+    +8 bytes/node of derived tables; replaces the fmin/Ustart rank24
+    structures (-1 byte/node) in the query tail."""
+    fm = np.asarray(fmin, np.int64)
+    us = np.asarray(Ustart, np.int64)
+    e = np.asarray(ends, np.int64)
+    go = np.asarray(global_offsets, np.int64)
+    n = fm.size
+    ur = np.cumsum(us) - us  # exclusive rank
+    g = np.where(ur > 0, e[np.maximum(ur - 1, 0)] if e.size else 0, 0)
+    fr = np.cumsum(fm) - fm
+    fe = go[np.clip(fr, 0, max(go.size - 1, 0))] if go.size else np.zeros(n, np.int64)
+    return np.stack([g, fe], axis=1).astype(np.int32)
+
+
 def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
     """Two-phase exact replica: optimistic chain + segment repair.
 
     The round-1 replica ran the reference's drop-recovery `while_loop`
     inside every scan step (nested three deep with the widen hops) and
-    measured 0.86 M q/s. This form runs the stream engine's optimistic
-    chain (3 gathers/base, no inner loops) and repairs only the
-    positions within k-1 after a chain failure -- maximal UNTRUSTED
-    segments, compacted to one lane each -- with the exact
-    recovery state machine in a single post-scan while_loop. Candidates
-    collapse to the closed form (SU[x], x) at singleton positions; the
-    Ustart carry and the per-window tuple-min run post-hoc on the
-    (B, L) candidate grid (VPU scans), and the dictionary resolution
-    tail is shared with the in-scan form.
+    measured 0.86 M q/s; round 4's two-phase form (optimistic chain, one
+    post-scan repair loop) measured 4.78 M. This round restructures the
+    two phases for gather throughput (measured v5e gather rate is the
+    binding resource, ~116 M scalar gathers/s -- see bench_micro):
+
+      * phase A is the shared ops.streaming.make_chain_opt hybrid: 1
+        edge gather per mature step, with (SU, Ustart) of the target
+        node packed INTO the edge entry (rank24.build_edge_aug_table)
+        when the index allows (n < 2^24, k <= 63) -- the candidate grid
+        then unpacks with zero additional gathers where round 4 paid a
+        full (B, L) suu gather (~9 ms/batch at 8192x128);
+      * phase B is the shared ops.streaming.make_segment_repair:
+        untrusted runs split at 2k payload positions, per-step values in
+        (K_seg, 2k) lane-local buffers scattered once, widen hops
+        cond-skipped -- round 4's repair scattered the full (B, L) grids
+        every iteration and measured 79 of 167 ms;
+      * the dictionary tail resolves both dictionaries with ONE (n, 2)
+        row gather (build_resolution_table) instead of four scalar
+        gathers, keeping only the uid rank (build_uend_table) and the
+        unitig-start gather.
 
     Output contract: locate(codes) -> (uid, off, n_seg); results are
     valid only when n_seg <= K_seg (caller resizes). Exactness is pinned
@@ -126,227 +150,119 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
 
     chunk (None = auto, 0/>=L = off) splits each read into
     k-1-overlapped chunks scanned as extra lanes (ops.streaming
-    chunk_reads): the sequential phase-A scan is latency-bound at
-    read-length trip count, so trading (chunk/(chunk-k+1))x gather
-    elements for an L/chunk-times shorter scan wins; trusted chunk
-    values are self-certifying and untrusted ones hit the same exact
-    repair, so output is unchanged (differentially tested).
-    """
+    chunk_reads): trusted chunk values are self-certifying and untrusted
+    ones hit the same exact repair, so output is unchanged
+    (differentially tested)."""
+    from finito_tpu.ops.rank24 import (
+        EDGE_AUG_MIN,
+        EDGE_NODE_MASK,
+        build_edge_aug_table,
+        can_augment_edges,
+    )
+    from finito_tpu.ops.streaming import (
+        auto_chunk,
+        chunk_reads,
+        make_chain_opt,
+        make_segment_repair,
+        n_chunks,
+        unchunk_grid,
+    )
+
     k = index.sbwt.get_k()
     n_nodes = index.sbwt.number_of_subsets()
     tab = jnp.asarray(build_rank24_tables(index.sbwt.bit_rows()))
     n8 = tab.shape[0] // 4
     C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
-    ck = jnp.asarray(build_contract_k_table(index.LCS, k))
+    ck_np = build_contract_k_table(index.LCS, k)
+    ck = jnp.asarray(ck_np)
     jl_np, jr_np = build_lcs_jump_tables(index.LCS)
     jl, jr = jnp.asarray(jl_np), jnp.asarray(jr_np)
     suu = jnp.asarray(build_su_ustart_table(index.LCS, index.Ustart))
-    fmin_tab = jnp.asarray(build_rank24_tables(np.asarray(index.fmin, np.uint8)[None, :]))
-    ustart_tab = jnp.asarray(build_rank24_tables(np.asarray(index.Ustart, np.uint8)[None, :]))
-    goffs = jnp.asarray(index.global_offsets.astype(np.int64), dtype=jnp.int32)
     ends = jnp.asarray(index.unitigs.ends, dtype=jnp.int32)
     uend_tab = jnp.asarray(build_uend_table(index.unitigs.ends))
-
-    edge = jnp.asarray(
-        build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(),
-                         np.asarray(ck))
+    res_tab = jnp.asarray(
+        build_resolution_table(
+            np.asarray(index.fmin, np.uint8), index.global_offsets,
+            np.asarray(index.Ustart, np.uint8), index.unitigs.ends,
+        )
     )
-    params = (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge)
+    aug = can_augment_edges(n_nodes, k)
+    if aug:
+        edge = jnp.asarray(
+            build_edge_aug_table(
+                index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np,
+                index.LCS, np.asarray(index.Ustart, np.uint8),
+            )
+        )
+    else:
+        edge = jnp.asarray(
+            build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np)
+        )
+    params = (tab, C, ck, jl, jr, suu, ends, uend_tab, res_tab, edge)
     NEG = jnp.int32(-1)
+    chain = make_chain_opt(n8, k, n_nodes, aug=aug)
+    repair = make_segment_repair(n8, k, n_nodes, K_seg, aug=aug)
 
-    # ---- phase A: optimistic chain (emit, cand_x, untrusted) ------------
-    # Hybrid automaton (see ops.streaming.make_chain_scan): immature
-    # lanes track the SBWT interval (2 rank gathers/step); at the first
-    # close the lane follows the forward-edge table (1 gather/step,
-    # sequential-dependency depth 1 -- the scan is latency-bound, so
-    # this halves the critical path vs the rank->contract chain).
-    def chain_opt(tab, C, ck, edge, codes):
-        def upd(c, lo, hi):
-            return update_interval24(tab, n8, C, c, lo, hi)
-
-        B, L = codes.shape
-
-        def step(carry, c):
-            lo, hi, ks, x, lastfail, j = carry
-            invalid = c > 3
-            em = x >= 0  # mature: x = node of the k-mer ending at j-1
-            xe = jnp.take(edge, jnp.where(em, x * 4 + jnp.where(invalid, 0, c), 0))
-            e_found = em & ~invalid & (xe >= 0)
-            nlo, nhi = upd(c, lo, hi)
-            failed = invalid | (nlo < 0)
-            mature = ks == j - k + 1
-            close = ~em & ~failed & (j - ks + 1 == k)
-            # status: rank on close; full-context non-invalid failure is
-            # a DEFINITIVE absent; everything else unknown-until-repair
-            emit_i = jnp.where(
-                close, nlo, jnp.where(failed & mature & ~invalid, NEG, jnp.int32(-2))
-            )
-            emit_i = jnp.where(invalid, NEG, emit_i)
-            emit = jnp.where(em, jnp.where(e_found, xe, NEG), emit_i)
-            # singleton suffix: the k-mer node on mature steps, the
-            # interval singleton while immature
-            single_i = ~failed & (nlo == nhi)
-            cand = jnp.where(
-                em,
-                jnp.where(e_found, xe, NEG),
-                jnp.where(single_i, nlo, NEG),
-            )
-            any_fail = jnp.where(em, ~e_found, failed)
-            lastfail2 = jnp.where(any_fail, j, lastfail)
-            untrusted = j - k + 1 <= lastfail2
-
-            x2 = jnp.where(e_found, xe, jnp.where(close, nlo, jnp.int32(-1)))
-            # interval carry: extend while immature; parked at the full
-            # interval while mature or after a failure (reset state)
-            lo2 = jnp.where(failed | em, 0, nlo)
-            hi2 = jnp.where(failed | em, n_nodes - 1, nhi)
-            ks2 = jnp.where(any_fail, j + 1, jnp.where(em | close, j - k + 2, ks))
-            return (lo2, hi2, ks2, x2, lastfail2, j + 1), (emit, cand, untrusted)
-
-        init = (
-            jnp.zeros(B, jnp.int32),
-            jnp.full(B, n_nodes - 1, jnp.int32),
-            jnp.zeros(B, jnp.int32),
-            jnp.full(B, -1, jnp.int32),
-            jnp.full(B, -(k + 2), jnp.int32),
-            jnp.int32(0),
-        )
-        _, outs = lax.scan(step, init, codes.astype(jnp.int32).T)
-        return tuple(o.T for o in outs)  # each (B, L)
-
-    # ---- phase B: exact repair of untrusted segments --------------------
-    def repair(P, codes, emit, cand, untrusted):
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge) = P
-
-        def upd(c, lo, hi):
-            return update_interval24(tab, n8, C, c, lo, hi)
-
-        B, L = codes.shape
-        flat_c = codes.reshape(-1).astype(jnp.int32)
-        u = untrusted
-        prev = jnp.concatenate([jnp.zeros((B, 1), jnp.bool_), u[:, :-1]], axis=1)
-        seg_start_mask = (u & ~prev).reshape(-1)
-        seg_idx, n_seg = compact_mask(seg_start_mask, K_seg)
-        sv = seg_idx >= 0
-        f_start = jnp.where(sv, seg_idx, 0)
-        b_of = f_start // L
-        p_start = f_start - b_of * L
-        # segment end: last untrusted position of the run = next trusted
-        # position - 1; scan from a per-read suffix structure is overkill
-        # -- the state machine just stops when it walks onto a trusted
-        # position or the read end.
-        j0 = jnp.maximum(p_start - (k - 1), 0)
-
-        def cond(st):
-            j, ks, lo, hi, rec, active, emit_f, cand_f = st
-            return jnp.any(active)
-
-        def body(st):
-            j, ks, lo, hi, rec, active, emit_f, cand_f = st
-            fj = b_of * L + jnp.minimum(j, L - 1)
-            c = jnp.where(active, jnp.take(flat_c, fj), 0)
-            invalid = c > 3
-
-            # recovery iteration: ks++, widen, retry handled next round
-            do_rec = active & rec
-            ks_r = jnp.where(do_rec, ks + 1, ks)
-            emptied = do_rec & (ks_r > j)
-            wlo, whi = widen_interval(
-                jl, jr, jnp.where(do_rec & ~emptied, lo, 0),
-                jnp.where(do_rec & ~emptied, hi, 0),
-                jnp.where(do_rec & ~emptied, j - ks_r, k + 1), n_nodes,
-            )
-            lo_r = jnp.where(do_rec & ~emptied, wlo, lo)
-            hi_r = jnp.where(do_rec & ~emptied, whi, hi)
-
-            # extension attempt (normal step, post-widen retry, or the
-            # emptied reset which consumes c with the full interval)
-            lo_t = jnp.where(emptied, 0, lo_r)
-            hi_t = jnp.where(emptied, n_nodes - 1, hi_r)
-            nlo, nhi = upd(c, lo_t, hi_t)
-            ok = active & ~invalid & (nlo >= 0) & ~emptied
-            fail_now = active & ~invalid & (nlo < 0) & ~emptied
-
-            ks2 = jnp.where(emptied, j + 1, ks_r)
-            single = ok & (nlo == nhi)
-            close = ok & (j - ks2 + 1 == k)
-            # record exact per-position values while inside the segment
-            in_seg = active & (j >= p_start)
-            rank_j = jnp.where(close, nlo, NEG)
-            cand_j = jnp.where(single, nlo, NEG)
-            sink = jnp.where(in_seg & (ok | invalid | emptied), fj, B * L)
-            emit_f = emit_f.at[sink].set(rank_j, mode="drop")
-            cand_f = cand_f.at[sink].set(cand_j, mode="drop")
-
-            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
-            lo2 = jnp.where(close, pair[:, 0], jnp.where(ok, nlo, lo_t))
-            hi2 = jnp.where(close, pair[:, 1], jnp.where(ok, nhi, hi_t))
-            ks3 = jnp.where(close, ks2 + 1, ks2)
-            # invalid char: reset like phase A
-            lo3 = jnp.where(invalid, 0, lo2)
-            hi3 = jnp.where(invalid, n_nodes - 1, hi2)
-            ks4 = jnp.where(invalid, j + 1, ks3)
-
-            advance = active & (ok | invalid | emptied)
-            j2 = jnp.where(advance, j + 1, j)
-            rec2 = fail_now
-            # stop when walking onto a trusted position past the segment
-            # run, or off the read end
-            past = advance & (
-                (j2 >= L) | ((j2 > p_start) & ~jnp.take(u.reshape(-1), jnp.minimum(b_of * L + jnp.minimum(j2, L - 1), B * L - 1)))
-            )
-            active2 = active & ~past
-            return j2, ks4, lo3, hi3, rec2, active2, emit_f, cand_f
-
-        emit_f = emit.reshape(-1)
-        cand_f = cand.reshape(-1)
-        st = (
-            j0,
-            j0,
-            jnp.zeros(K_seg, jnp.int32),
-            jnp.full(K_seg, n_nodes - 1, jnp.int32),
-            jnp.zeros(K_seg, jnp.bool_),
-            sv,
-            emit_f,
-            cand_f,
-        )
-        _, _, _, _, _, _, emit_f, cand_f = lax.while_loop(cond, body, st)
-        return emit_f.reshape(B, L), cand_f.reshape(B, L), n_seg
-
-    # ---- full locate ----------------------------------------------------
     def run(P, codes):
-        from finito_tpu.ops.streaming import chunk_reads, unchunk_grid
-
-        (tab, C, ck, jl, jr, suu, fmin_tab, ustart_tab, goffs, ends, uend_tab, edge) = P
+        (tab, C, ck, jl, jr, suu, ends, uend_tab, res_tab, edge) = P
         B, L = codes.shape
         W = L - k + 1
-        cc_len = chunk
-        if cc_len is None:
-            from finito_tpu.ops.streaming import auto_chunk
-
-            cc_len = auto_chunk(k, B, L)  # v5e lane-saturation rule
-        if k <= cc_len < L:
+        cc_len = auto_chunk(k, B, L) if chunk is None else chunk
+        chunked = k <= cc_len < L
+        if chunked:
             emit, cand, untrusted = (
                 unchunk_grid(g, B, L, k, cc_len)
-                for g in chain_opt(tab, C, ck, edge, chunk_reads(codes, k, cc_len))
+                for g in chain(tab, C, edge, chunk_reads(codes, k, cc_len))
             )
         else:
-            emit, cand, untrusted = chain_opt(tab, C, ck, edge, codes)
-        emit, cand, n_seg = repair(P, codes, emit, cand, untrusted)
+            emit, cand, untrusted = chain(tab, C, edge, codes)
+        emit, cand, n_seg = repair(
+            tab, C, ck, jl, jr, suu, codes, emit, cand, untrusted
+        )
 
         ranks = emit[:, k - 1 :]  # (B, W)
         found = ranks >= 0
 
-        # candidate lengths + Ustart flags: one gather on the cand grid
-        safe_x = jnp.where(cand >= 0, cand, 0)
-        sw = jnp.take(suu, safe_x).astype(jnp.int32)
-        cl = jnp.where(cand >= 0, sw & 0xFF, _NO_CAND)
-        u_flag = (cand >= 0) & ((sw >> 8) & 1 == 1)
+        # candidate grids: length, colex, Ustart flag per position
+        if aug:
+            # augmented cands carry (su, ustart) inline; raw (< 2^25)
+            # cands occur only at immature singleton positions, which
+            # after the repair are confined to statically known columns:
+            # the read head j < k, and, when chunked, each chunk's
+            # seeding close at column s*(cc_len-k+1) + k-1 (the chain
+            # re-derives context per chunk). Those columns take a small
+            # sliced suu gather; everywhere else zero gathers.
+            augm = cand >= EDGE_AUG_MIN
+            x = jnp.where(augm, cand & EDGE_NODE_MASK, cand)
+            cl = jnp.where(augm, cand >> 25, _NO_CAND)
+            uf = augm & (((cand >> 24) & 1) == 1)
+            cols = list(range(min(k, L)))
+            if chunked:
+                S = cc_len - k + 1
+                cols += [
+                    s * S + k - 1
+                    for s in range(1, n_chunks(L, k, cc_len))
+                    if s * S + k - 1 < L
+                ]
+            cidx = np.asarray(sorted(set(cols)), np.int32)
+            sl = cand[:, cidx]
+            raw = (sl >= 0) & (sl < EDGE_AUG_MIN)
+            sw = jnp.take(suu, jnp.where(raw, sl, 0)).astype(jnp.int32)
+            cl = cl.at[:, cidx].set(
+                jnp.where(raw, sw & 0xFF, cl[:, cidx])
+            )
+            uf = uf.at[:, cidx].set(uf[:, cidx] | (raw & ((sw >> 8) & 1 == 1)))
+        else:
+            x = cand
+            sw = jnp.take(suu, jnp.where(cand >= 0, cand, 0)).astype(jnp.int32)
+            cl = jnp.where(cand >= 0, sw & 0xFF, _NO_CAND)
+            uf = (cand >= 0) & ((sw >> 8) & 1 == 1)
+        cl = jnp.where(cand >= 0, cl, _NO_CAND)
 
         # rightmost Ustart singleton carry: "last non-null" associative scan
         jpos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-        up0 = jnp.where(u_flag, jpos, NEG)
-        ux0 = jnp.where(u_flag, cand, 0)
+        up0 = jnp.where(uf, jpos, NEG)
+        ux0 = jnp.where(uf, x, 0)
 
         def comb(a, b):
             aj, ax = a
@@ -356,7 +272,7 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
 
         up, ux = lax.associative_scan(comb, (up0, ux0), axis=1)
 
-        cc = jnp.where(cand >= 0, cand, 0)
+        cc = jnp.where(cand >= 0, x, 0)
         fin_len = jnp.full((B, W), _NO_CAND, jnp.int32)
         fin_colex = jnp.zeros((B, W), jnp.int32)
         fin_r = jnp.zeros((B, W), jnp.int32)
@@ -374,17 +290,11 @@ def make_replica_locate_v2(index, K_seg: int = 4096, chunk: int | None = None):
         ws = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         use_branch = found & (up_w >= ws + fin_r)
 
-        safe_ux = jnp.where(use_branch, ux_w, 0)
-        urank = rank1(ustart_tab, safe_ux)
-        u_gstart = jnp.where(urank > 0, jnp.take(ends, jnp.maximum(urank - 1, 0)), 0)
-        g_end_branch = u_gstart + (k - 1) + ((ws + k - 1) - up_w)
-
-        safe_fx = jnp.where(found, fin_colex, 0)
-        frank = rank1(fmin_tab, safe_fx)
-        g_end_fin = jnp.take(goffs, jnp.clip(frank, 0, goffs.shape[0] - 1)) + (
-            (k - 1) - fin_r
-        )
-
+        # both dictionaries resolve through one precomputed row gather
+        ridx = jnp.where(use_branch, ux_w, jnp.where(found, fin_colex, 0))
+        rows = jnp.take(res_tab, ridx, axis=0)
+        g_end_branch = rows[..., 0] + (k - 1) + ((ws + k - 1) - up_w)
+        g_end_fin = rows[..., 1] + ((k - 1) - fin_r)
         g_end = jnp.where(use_branch, g_end_branch, g_end_fin)
         g_start = g_end - k + 1
         # uid via one rank gather on the unitig-end bitvector (see

@@ -150,6 +150,7 @@ def test_stream_chunked_matches_unchunked(chunk):
     from finito_tpu.ops.rank24 import (
         build_contract_k_table,
         build_edge_table,
+        build_lcs_jump_tables,
         build_rank24_tables,
     )
     from finito_tpu.ops.streaming import make_chain_stream_ranks
@@ -163,6 +164,8 @@ def test_stream_chunked_matches_unchunked(chunk):
     C = jnp.asarray(index.sbwt.get_C_array(), dtype=jnp.int32)
     ck_np = build_contract_k_table(index.LCS, k)
     ck = jnp.asarray(ck_np)
+    jl_np, jr_np = build_lcs_jump_tables(index.LCS)
+    jl, jr = jnp.asarray(jl_np), jnp.asarray(jr_np)
     edge = jnp.asarray(
         build_edge_table(index.sbwt.bit_rows(), index.sbwt.get_C_array(), ck_np)
     )
@@ -178,8 +181,8 @@ def test_stream_chunked_matches_unchunked(chunk):
     K = B * (L - k + 1)
     base = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K)
     ch = make_chain_stream_ranks(n8, k, index.sbwt.number_of_subsets(), K, chunk=chunk)
-    r0, n0 = base(tab, C, ck, edge, jnp.asarray(reads))
-    r1, n1 = ch(tab, C, ck, edge, jnp.asarray(reads))
+    r0, n0 = base(tab, C, ck, jl, jr, edge, jnp.asarray(reads))
+    r1, n1 = ch(tab, C, ck, jl, jr, edge, jnp.asarray(reads))
     assert int(n0) <= K and int(n1) <= K
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
 
