@@ -57,18 +57,60 @@ def blocked_cumsum_i32(x):
     return (within + row_off[:, None]).reshape(-1)[:n]
 
 
+def _nth_set_bit32(x, r):
+    """Position of the r-th (0-based) set bit of uint32 x, elementwise.
+    Binary descend over 16/8/4/2/1-bit halves: 5 VPU rounds, no gathers.
+    Undefined (but in [0,32)) when r >= popcount(x)."""
+    x = x.astype(jnp.uint32)
+    r = r.astype(jnp.int32)
+    pos = jnp.zeros_like(r)
+    for half in (16, 8, 4, 2, 1):
+        lo_mask = jnp.uint32((1 << half) - 1)
+        c = lax.population_count(x & lo_mask).astype(jnp.int32)
+        go_hi = r >= c
+        r = r - jnp.where(go_hi, c, 0)
+        pos = pos + jnp.where(go_hi, half, 0)
+        x = jnp.where(go_hi, x >> jnp.uint32(half), x & lo_mask)
+    return pos
+
+
 def compact_mask(mask, K: int):
     """Indices of the first K set positions of a flat bool mask, padded
-    with -1, plus the true count. Hand-rolled blocked-cumsum + scatter:
-    XLA lowers jnp.nonzero(size=K) through a sort (~17ms at 1.6M
-    elements on v5e vs ~4ms for this form)."""
-    pos = blocked_cumsum_i32(mask.astype(jnp.int32)) - 1
-    n = jnp.where(mask.size > 0, pos[-1] + 1, 0)
-    sink = jnp.where(mask & (pos < K), pos, K)
-    out = jnp.full(K, -1, jnp.int32).at[sink].set(
-        jnp.arange(mask.size, dtype=jnp.int32), mode="drop"
+    with -1, plus the true count.
+
+    Select-based: the round-1 form scattered ALL mask.size elements
+    (at[sink].set with drop) -- the scatter unit processes every element
+    whether it hits or not, measured 3.7 ms at 802k elements on v5e
+    (30% of the minimizer engine's batch). This form scatters one
+    element per 32-position BLOCK (mask.size/32 elements), forward-fills
+    block ownership over the K output slots with a cummax, and converts
+    each slot's within-block rank to a position with an in-register
+    nth-set-bit descend: ~mask.size/32 scattered + 2K gathered elements
+    total. XLA's own jnp.nonzero(size=K) lowers through a full sort
+    (~17 ms at 1.6M elements)."""
+    n_el = mask.size
+    if n_el == 0:
+        return jnp.full(K, -1, jnp.int32), jnp.int32(0)
+    nb = -(-n_el // 32)
+    mp = jnp.zeros(nb * 32, jnp.bool_).at[:n_el].set(mask.reshape(-1))
+    w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    bits = jnp.sum(jnp.where(mp.reshape(nb, 32), w, jnp.uint32(0)),
+                   axis=1, dtype=jnp.uint32)
+    cnt = lax.population_count(bits).astype(jnp.int32)
+    inc = blocked_cumsum_i32(cnt)
+    n = inc[-1]
+    pos = inc - cnt  # exclusive: first output ordinal of each block
+    sink = jnp.where((cnt > 0) & (pos < K), pos, K)
+    blk = jnp.full(K, -1, jnp.int32).at[sink].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
     )
-    return out, n
+    blk = lax.cummax(blk)  # owner of slot j: last block with pos <= j
+    safe = jnp.maximum(blk, 0)
+    r = jnp.arange(K, dtype=jnp.int32) - jnp.take(pos, safe)
+    bit = _nth_set_bit32(jnp.take(bits, safe), r)
+    out = safe * 32 + bit
+    valid = (blk >= 0) & (jnp.arange(K, dtype=jnp.int32) < n)
+    return jnp.where(valid, out, -1), n
 
 
 AUTO_CHUNK_LANES = 8192  # measured v5e scan-lane saturation point

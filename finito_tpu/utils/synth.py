@@ -28,14 +28,23 @@ def gen_repeat_genome(
     tandem_frac: float = 0.2,
     seg_frac: float = 0.2,
     snp_rate: float = 0.001,
+    div_rate: float = 0.01,
 ) -> np.ndarray:
     """Repeat-dense genome of ~`length` bases (uint8 codes 0..3).
 
     Composition by draw: fresh random sequence, tandem repeats (unit
     20-500 bp x 2-16 copies), or a segmental duplication (a 1-40 kbp
-    slice of what exists so far, re-inserted with ~1% divergence).
-    Finally SNPs at snp_rate create bubble pairs against the
-    duplicated copies."""
+    slice of what exists so far, re-inserted with `div_rate`
+    divergence). Finally SNPs at snp_rate create bubble pairs against
+    the duplicated copies.
+
+    Exact repeats COLLAPSE in a DSPSS (one node per distinct k-mer);
+    what stresses the engines' slow paths is near-duplication: k-mers
+    within k of a divergence site survive as distinct nodes that share
+    minimizer m-mers (multi-occurrence slots). Multi-occ pressure
+    therefore scales with div_rate + snp_rate, not with the raw
+    duplicated fraction -- raise those to make a bench rung adversarial
+    (bench.py REPEAT_PARAMS)."""
     parts: List[np.ndarray] = []
     total = 0
     while total < length:
@@ -49,7 +58,7 @@ def gen_repeat_genome(
             genome_so_far = np.concatenate(parts)
             start = int(rng.integers(0, max(1, genome_so_far.size - src_len)))
             seg = genome_so_far[start : start + src_len].copy()
-            n_div = max(1, int(0.01 * seg.size))
+            n_div = max(1, int(div_rate * seg.size))
             pos = rng.integers(0, seg.size, size=n_div)
             seg[pos] = (seg[pos] + rng.integers(1, 4, size=n_div)) % 4
         else:

@@ -187,3 +187,34 @@ def test_blocked_cumsum_matches_numpy():
         x = rng.integers(0, 3, size=n).astype(np.int32)
         got = np.asarray(blocked_cumsum_i32(jnp.asarray(x)))
         assert np.array_equal(got, np.cumsum(x)), n
+
+
+def test_compact_mask_select_form():
+    """The select-based compact_mask (block scatter + cummax fill +
+    nth-set-bit descend) equals first-K-set-indices exactly, including
+    overflow (count > K), empty masks, and non-multiple-of-32 sizes."""
+    import jax.numpy as jnp
+
+    from finito_tpu.ops.streaming import compact_mask
+
+    rng = np.random.default_rng(11)
+
+    def ref(mask, K):
+        idx = np.flatnonzero(mask)
+        out = np.full(K, -1, np.int64)
+        out[: min(K, idx.size)] = idx[:K]
+        return out, idx.size
+
+    cases = [(rng.random(4096) < p, 512) for p in (0.0, 0.01, 0.1, 0.5, 1.0)]
+    cases += [
+        (rng.random(4097) < 0.3, 64),       # overflow + pad tail
+        (np.ones(257, bool), 32),            # dense overflow
+        (np.zeros(64, bool), 32),            # empty
+        (np.ones(32, bool), 32),             # exactly K
+        (rng.random(100_001) < 0.005, 2048),  # sparse at scale
+    ]
+    for mask, K in cases:
+        got, n = compact_mask(jnp.asarray(mask), K)
+        exp, en = ref(mask, K)
+        assert int(n) == en
+        assert np.array_equal(np.asarray(got), exp)
