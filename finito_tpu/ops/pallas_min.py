@@ -38,23 +38,34 @@ several HBM-materialized fusions.
 What IS here
 ------------
 minimizer_windows_pallas: the minimizer engine's gather-free front end
-(minimizer_scan + pack_query_windows + slot hashing, see
-query/minimizer_engine.py) fused into ONE kernel: codes are read from
-HBM once per block, the ~m + (k-m+1) + k rolling/compare passes run on
-VMEM-resident tiles, and only the five (B, W) result grids return to
-HBM. Differentially tested against the XLA forms (tests run it in
-interpreter mode on CPU; the engine uses it only on real TPUs).
+(minimizer_scan + pack_query_windows, see query/minimizer_engine.py)
+fused into ONE kernel: codes are read from HBM once per block, the
+~m + (k-m+1) + k rolling/compare passes run on VMEM-resident tiles,
+and only the (B, W) result grids return to HBM. Measured on the v5e
+(B=8192, L=128, k=31, m=16): XLA form 22 us/batch, this kernel 24
+us/batch -- PARITY, because XLA already fuses the whole phase to the
+VPU floor. The kernel is therefore NOT wired into the engine; it stays
+as the working, hardware-validated Pallas form of the one fusable
+phase, regression-tested against the XLA twins
+(tests/test_pallas_min.py, interpreter mode on CPU), and as evidence
+that this framework's profile has no Pallas headroom: every hot phase
+is either at the gather floor (XLA's gather unit) or at the VPU floor
+(XLA's fuser).
+
+Mosaic miscompile note: the direct LSB-first q_words form (16
+independent `(c[:, i:i+W] & 3) << 2i` OR terms) compiles to wrong
+results on hardware while interpret mode is exact (probed 2026-08-20;
+plain slices alone are exact). The kernel uses the dependent MSB-first
+pack + in-register 2-bit-field reversal instead, which compiles
+correctly and is verified element-exact on the TPU.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 MIX32 = 0x9E3779B1  # must equal query.minimizer_engine.MIX32 (tested)
 
@@ -69,31 +80,45 @@ def _front_kernel(k: int, m: int, n_words: int, c_ref, bv_ref, bo_ref,
     mv = jnp.zeros((Bblk, nm), jnp.uint32)
     bad_m = jnp.zeros((Bblk, nm), jnp.bool_)
     for i in range(m):
-        ci = lax.dynamic_slice_in_dim(c, i, nm, axis=1)
+        ci = c[:, i : i + nm]
         mv = (mv << jnp.uint32(2)) | (ci & jnp.uint32(3))
         bad_m = bad_m | (ci > 3)
     hv = (mv * jnp.uint32(MIX32)) ^ (mv >> jnp.uint32(16))
-    best_v = lax.dynamic_slice_in_dim(mv, 0, W, axis=1)
-    best_h = lax.dynamic_slice_in_dim(hv, 0, W, axis=1)
+    best_v = mv[:, :W]
+    best_h = hv[:, :W]
     best_o = jnp.zeros((Bblk, W), jnp.int32)
-    bad = lax.dynamic_slice_in_dim(bad_m, 0, W, axis=1)
+    bad = bad_m[:, :W]
     for r in range(1, k - m + 1):
-        cand_v = lax.dynamic_slice_in_dim(mv, r, W, axis=1)
-        cand_h = lax.dynamic_slice_in_dim(hv, r, W, axis=1)
+        cand_v = mv[:, r : r + W]
+        cand_h = hv[:, r : r + W]
         upd = cand_h < best_h  # strict: leftmost lowest wins
         best_v = jnp.where(upd, cand_v, best_v)
         best_h = jnp.where(upd, cand_h, best_h)
         best_o = jnp.where(upd, r, best_o)
-        bad = bad | lax.dynamic_slice_in_dim(bad_m, r, W, axis=1)
+        bad = bad | bad_m[:, r : r + W]
     bv_ref[...] = best_v
     bo_ref[...] = best_o
     bad_ref[...] = bad.astype(jnp.int32)
+    # q_words: LSB-first 2-bit pack of chars [16w, 16w+nc). The direct
+    # independent (ci << 2i) OR-reduction MIScompiles under Mosaic
+    # (probed 2026-08-20: plain slices are exact, the 16-term shift-OR
+    # tree drops terms at some offsets), so build the MSB-first
+    # sequential pack -- the identical dependent (acc << 2 | ci) chain
+    # the minimizer loop above compiles correctly -- and reverse the
+    # 2-bit fields in-register (4 mask/shift rounds).
     for w in range(n_words):
-        qw = jnp.zeros((Bblk, W), jnp.uint32)
-        for i in range(16 * w, min(16 * (w + 1), k)):
-            ci = lax.dynamic_slice_in_dim(c, i, W, axis=1) & jnp.uint32(3)
-            qw = qw | (ci << jnp.uint32(2 * (i - 16 * w)))
-        qw_refs[w][...] = qw
+        nc = min(16 * (w + 1), k) - 16 * w
+        qv = jnp.zeros((Bblk, W), jnp.uint32)
+        for i in range(16 * w, 16 * w + nc):
+            qv = (qv << jnp.uint32(2)) | (c[:, i : i + W] & jnp.uint32(3))
+        x = (qv >> jnp.uint32(16)) | (qv << jnp.uint32(16))
+        x = ((x & jnp.uint32(0xFF00FF00)) >> jnp.uint32(8)) | (
+            (x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8))
+        x = ((x & jnp.uint32(0xF0F0F0F0)) >> jnp.uint32(4)) | (
+            (x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4))
+        x = ((x & jnp.uint32(0xCCCCCCCC)) >> jnp.uint32(2)) | (
+            (x & jnp.uint32(0x33333333)) << jnp.uint32(2))
+        qw_refs[w][...] = x >> jnp.uint32(2 * (16 - nc))
 
 
 def minimizer_windows_pallas(codes, k: int, m: int, *, block_b: int = 1024,
@@ -134,15 +159,3 @@ def minimizer_windows_pallas(codes, k: int, m: int, *, block_b: int = 1024,
     )(codes.astype(jnp.int32))
     best_v, best_o, bad = outs[0], outs[1], outs[2] != 0
     return best_v, best_o, bad, list(outs[3:])
-
-
-def pallas_front_available(B: int) -> bool:
-    """The fused front end runs only on real TPU backends (Mosaic) and
-    row counts that tile evenly; anything else uses the XLA form."""
-    if os.environ.get("FINITO_NO_PALLAS"):
-        return False
-    try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat == "tpu" and (B % min(1024, B) == 0)
