@@ -365,6 +365,13 @@ def make_segment_repair(
     if Q is None:
         Q = k + 1  # an isolated failure's run is exactly k+1 positions
     NEG = jnp.int32(-1)
+    import os as _os
+
+    # hop rounds per iteration: 2 lets most widens finish in-iteration;
+    # 1 halves the hop branch's K-wide jl/jr gathers (measured 177 us
+    # of a 330 us repair step at K~6.5k) at the cost of an extra stall
+    # iteration for multi-hop widens. A/B via FINITO_HOP_ROUNDS.
+    HOP_ROUNDS = int(_os.environ.get("FINITO_HOP_ROUNDS", "2"))
 
     def run(tab, C, ck, jl, jr, suu, codes, emit, cand, untrusted):
         def upd(c, lo, hi):
@@ -438,6 +445,11 @@ def make_segment_repair(
                 x = jnp.where(hl, x - (el0 >> jnp.uint32(8)).astype(jnp.int32), x)
                 hr = mid & (y < n_nodes) & (lcsR >= nlen)
                 y = jnp.where(hr, y + (er0 >> jnp.uint32(8)).astype(jnp.int32), y)
+                if HOP_ROUNDS < 2:
+                    # one jl/jr gather pair per iteration: a lane whose
+                    # widen needs 2+ hops stalls one more iteration
+                    # (rare); halves the hop branch's gather elements
+                    return x, y, hl, hr, ks2, nlen
                 el = jnp.take(jl, jnp.where(mid, x, 0))
                 er = jnp.take(jr, jnp.where(mid, y, 0))
                 hl2 = mid & (x > 0) & ((el & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)

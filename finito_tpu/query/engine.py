@@ -214,23 +214,46 @@ class DeviceQueryEngine:
                 jf = jax.jit(f)
                 return lambda codes: jf(tab, C, ck, jl, jr, edge, loc_table, codes)
 
-            def locate_stream(codes):
+            stream_sizes = {}  # (B, W) -> last sufficient K
+
+            def locate_stream_async(codes):
+                """Dispatch + deferred overflow check (same contract as
+                locate_minimizer_async): returns (uid_dev, off_dev,
+                verify); verify() blocks on the overflow flag and
+                re-runs at larger K on the rare overflow, returning the
+                corrected pair (else None). Lets the CLI's begin/end
+                split double-buffer scan-engine chunks sync-free."""
                 B, L = codes.shape
                 W = L - k + 1
                 # K bounds repaired SEGMENTS (untrusted runs split at 2k
                 # payload positions), not windows: far fewer than W per read
-                K = max(1024, (B * W) // 64)
-                while True:
-                    if K not in stream_cache:
-                        stream_cache[K] = make_stream(K)
-                    uid, off, overflow = stream_cache[K](codes)
-                    if not bool(overflow):
-                        return uid, off
-                    if K >= B * W:
-                        raise AssertionError("segment overflow at K == B*W")
-                    K = min(B * W, K * 4)
+                K = stream_sizes.get((B, W)) or max(1024, (B * W) // 64)
+                if K not in stream_cache:
+                    stream_cache[K] = make_stream(K)
+                first = stream_cache[K](codes)
+
+                def verify(K=K):
+                    out = first
+                    while True:
+                        if not bool(out[2]):
+                            stream_sizes[(B, W)] = K
+                            return None if out is first else (out[0], out[1])
+                        if K >= B * W:
+                            raise AssertionError("segment overflow at K == B*W")
+                        K = min(B * W, K * 4)
+                        if K not in stream_cache:
+                            stream_cache[K] = make_stream(K)
+                        out = stream_cache[K](codes)
+
+                return first[0], first[1], verify
+
+            def locate_stream(codes):
+                uid, off, verify = locate_stream_async(codes)
+                fixed = verify()
+                return fixed if fixed is not None else (uid, off)
 
             self._locate = locate_stream
+            self._locate_async_deferred = locate_stream_async
         elif mode == "minimizer" and self.mesh_shape:
             import jax as _jax
 
@@ -383,22 +406,41 @@ class DeviceQueryEngine:
             from finito_tpu.query.replica import make_replica_locate_v2
 
             rep_cache = {}
+            rep_sizes = {}  # (B, L) -> last sufficient K
             k = self.k
 
-            def locate_replica(codes):
+            def locate_replica_async(codes):
+                """Deferred-overflow dispatch (see locate_stream_async)."""
                 B, L = codes.shape
-                K = max(1024, (B * (L - k + 1)) // 16)
-                while True:
-                    if K not in rep_cache:
-                        rep_cache[K] = make_replica_locate_v2(index, K, chunk=self.chunk)
-                    uid, off, n_seg = rep_cache[K](codes)
-                    if int(n_seg) <= K:
-                        return uid, off
-                    if K >= B * L:
-                        raise AssertionError("segment overflow at K == B*L")
-                    K = min(B * L, K * 4)
+                K = rep_sizes.get((B, L)) or max(1024, (B * (L - k + 1)) // 16)
+                if K not in rep_cache:
+                    rep_cache[K] = make_replica_locate_v2(index, K, chunk=self.chunk)
+                first = rep_cache[K](codes)
+
+                def verify(K=K):
+                    out = first
+                    while True:
+                        if int(out[2]) <= K:
+                            rep_sizes[(B, L)] = K
+                            return None if out is first else (out[0], out[1])
+                        if K >= B * L:
+                            raise AssertionError("segment overflow at K == B*L")
+                        K = min(B * L, K * 4)
+                        if K not in rep_cache:
+                            rep_cache[K] = make_replica_locate_v2(
+                                index, K, chunk=self.chunk
+                            )
+                        out = rep_cache[K](codes)
+
+                return first[0], first[1], verify
+
+            def locate_replica(codes):
+                uid, off, verify = locate_replica_async(codes)
+                fixed = verify()
+                return fixed if fixed is not None else (uid, off)
 
             self._locate = locate_replica
+            self._locate_async_deferred = locate_replica_async
         else:
             raise ValueError(f"unknown engine mode {mode}")
 

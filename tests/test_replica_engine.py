@@ -208,3 +208,30 @@ def test_engine_long_reads_trigger_auto_chunk(mode):
     for read, (f, _r) in zip(reads, out):
         want = index.search(read)
         assert f.local_offsets == want.local_offsets, read
+
+
+@pytest.mark.parametrize("mode", ["stream", "replica"])
+def test_one_hop_round_output_equal(monkeypatch, mode):
+    """FINITO_HOP_ROUNDS=1 (one jl/jr gather pair per repair iteration;
+    multi-hop widens stall an extra iteration) must be output-identical
+    to the 2-round form on mutation-heavy reads."""
+    monkeypatch.setenv("FINITO_HOP_ROUNDS", "1")
+    rng = np.random.default_rng(4242)
+    k = 11
+    unitigs = gen_dspss(rng, 12, 40, 80, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode=mode)
+    genome = "".join(unitigs)
+    B, L = 24, 64
+    reads = []
+    for _ in range(B):
+        a = int(rng.integers(0, len(genome) - L))
+        s = list(genome[a : a + L])
+        for _m in range(int(rng.integers(0, 5))):  # clustered mutations
+            p = int(rng.integers(0, L))
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    for q in reads:
+        got = engine.search_fwd_rc(q.encode())[0]
+        want = index.search(q.encode())
+        assert got.local_offsets == want.local_offsets, q
