@@ -1,26 +1,28 @@
-"""Two-phase streaming k-mer rank engine: optimistic chain + verify.
+"""Two-phase streaming k-mer rank engine: optimistic chain + repair.
 
 Data-dependent while_loops inside a lax.scan cost milliseconds per
 iteration on TPU (measured ~4ms at 16k lanes), so the reference's
 streaming recovery loop (common.hh:116-126) cannot be transplanted
 per-step. Instead:
 
-Phase A -- "chain" scan (no whiles, 3 gathers/step): track the interval
-of seq[ks..j]. On a window close (length == k) the k-mer is FOUND
-definitively (emit its singleton rank) and the window slides by the
-precomputed (k-1)-contraction (one row gather). On extension failure:
-  * if the chain had full (k-1)-length context, the window ending at j
-    is definitively ABSENT;
-  * otherwise the window is UNKNOWN;
-and the chain resets (ks = j+1). Windows closing while the chain is
-immature are UNKNOWN.
+Phase A -- "chain" scan (make_chain_opt, no inner loops): a hybrid
+automaton per lane. Immature lanes track the SBWT interval of
+seq[ks..j] (2 rank gathers/step); at the first window close the lane
+follows the precomputed forward-edge table (1 gather/step,
+critical-path depth 1). Any failure marks a k-wide shadow of positions
+UNTRUSTED and resets the lane.
 
-Phase B -- batched verification: UNKNOWN windows are compacted host-side
-and re-searched with plain k-step extension and early exit (one
-while_loop per *phase*, <= k iterations, lanes retire as intervals
-empty). For mostly-present reads phase B is nearly empty; for
-absent-heavy reads it costs ~(absent fraction) of a fixed-k pass with
-early exit.
+Phase B -- segment repair (make_segment_repair): untrusted RUNS are
+compacted to one lane each (split every Q payload positions), seeded
+from the trusted predecessor's post-close slide state where possible,
+and walked ONCE with the reference's exact recovery state machine
+(plateau-jump drops + LCS-widening hops) in a fixed-trip scan plus a
+rare straggler while_loop.
+
+Both phases run at the measured v5e gather floor (~141 M gathered
+elements/s; see ops/pallas_min.py for the profile and why no Pallas
+kernel beats it), so engineering here minimizes GATHERED ELEMENTS per
+decided window, not op count.
 
 Output equals ops.bitvec.kmer_ranks_fixed exactly (tested).
 """
@@ -113,26 +115,26 @@ def compact_mask(mask, K: int):
     return jnp.where(valid, out, -1), n
 
 
-AUTO_CHUNK_LANES = 8192  # measured v5e scan-lane saturation point
+AUTO_CHUNK_LANES = 8192  # measured v5e scan-lane saturation (SWEEP_lanes.json)
 
 
 def auto_chunk(k: int, B: int, L: int) -> int:
-    """Default chain-scan chunk length (0 = scan whole reads).
+    """Default chain-scan chunk length: 0 = scan whole reads, always.
 
-    With the forward-edge chain the scan step's critical path is one
-    gather and measured v5e throughput saturates near ~8k total lanes:
-    at k=31, L=128, B=8192 the UNchunked scan wins every chunked split
-    (replica 4.78 M q/s vs 4.21 M at chunk 62 and 4.47 M at 96; stream
-    6.19 M vs 4.91 M at 48 -- round-4 sweep). Chunking still pays when
-    the batch itself is too small to fill the device: pick the chunk
-    that lifts B * n_chunks to ~AUTO_CHUNK_LANES, else scan whole
-    reads. Shared by the stream and replica engines so a retune happens
-    in exactly one place."""
-    if 2 * B > AUTO_CHUNK_LANES or L < 2 * k:
-        return 0
-    n_ch = max(1, AUTO_CHUNK_LANES // B)
-    W = L - k + 1
-    return k - 1 + -(-W // n_ch)
+    Retuned from the recorded round-5 sweep (SWEEP_lanes.json,
+    2026-08-20, 400 kbp k=31 L=128): with the forward-edge chain and
+    segment repair both phases are GATHER-THROUGHPUT-bound (~141 M
+    gathered elements/s on v5e, see ops/pallas_min.py), and chunking
+    multiplies gathered elements by the k-1-overlap factor (~2x at
+    chunk ~2k), so the unchunked scan wins at EVERY measured batch
+    size -- including the small batches the round-4 policy chunked to
+    fill lanes (B=2048 stream: 9.29 M unchunked vs 8.12 M chunked;
+    B=8192: 12.0 vs 12.0 -- auto already off). Lane saturation is at
+    ~AUTO_CHUNK_LANES (B=16384 +1%, B=32768 degrades). Chunking stays
+    available via an explicit chunk= for latency-over-throughput cases
+    (exactness is unaffected; chunked == unchunked is tested)."""
+    del k, B, L
+    return 0
 
 
 def n_chunks(L: int, k: int, C: int) -> int:
@@ -342,6 +344,15 @@ def make_segment_repair(
         slide (ks = p_start-k+1, interval = contract_k[emit[p_start-1]])
         -- one row gather replaces the k-1-step from-scratch preamble
         that dominated the round-4 repair's trip count;
+      * an optional two-class form (FINITO_REPAIR_SPLIT=1) classifies
+        segments before compaction and runs the fast-seeded class for
+        only Q + stall trips at full width and the preamble class
+        (read-head runs, continuation splits) at quarter width -- it
+        measured SLOWER than the single mixed loop on the v5e (10.9 vs
+        12.3 M q/s: at K ~6.5k the iteration cost is fixed-overhead-
+        dominated, so extra iterations outweigh narrower gathers); the
+        default is the single mixed loop, both kept output-identical
+        for retuning;
       * runs are SPLIT every Q payload positions (the state at any
         position is a function of the last k-1 characters, so a split
         re-derives context from a k-1 preamble exactly like
@@ -367,11 +378,17 @@ def make_segment_repair(
     NEG = jnp.int32(-1)
     import os as _os
 
-    # hop rounds per iteration: 2 lets most widens finish in-iteration;
-    # 1 halves the hop branch's K-wide jl/jr gathers (measured 177 us
-    # of a 330 us repair step at K~6.5k) at the cost of an extra stall
-    # iteration for multi-hop widens. A/B via FINITO_HOP_ROUNDS.
+    # Tuning knobs, defaults set by a round-5 TPU A/B (400 kbp stream,
+    # B=8192): the single mixed loop at 2 hop rounds measured 12.3 M
+    # q/s vs 10.9 M for the two-class split (fast class Q+stall trips at
+    # full width, preamble class k-1+Q+stall at quarter width) and
+    # 10.3 M for 1 hop round -- at K ~6.5k the repair iteration is
+    # dominated by FIXED per-step cost, not gather width, so narrowing
+    # loops does not pay and stall-induced extra iterations do hurt.
+    # Both forms are output-identical (tested) and kept for retuning on
+    # other workloads/hardware.
     HOP_ROUNDS = int(_os.environ.get("FINITO_HOP_ROUNDS", "2"))
+    REPAIR_SPLIT = _os.environ.get("FINITO_REPAIR_SPLIT", "0") == "1"
 
     def run(tab, C, ck, jl, jr, suu, codes, emit, cand, untrusted):
         def upd(c, lo, hi):
@@ -390,162 +407,212 @@ def make_segment_repair(
         # each run's start over the run; split every Q positions
         rs = lax.cummax(jnp.where(is_start, jpos, -1), axis=1)
         split = u & ((jpos - rs) % Q == 0)
-        seg_idx, n_seg = compact_mask(split.reshape(-1), K_seg)
-        sv = seg_idx >= 0
-        f_start = jnp.where(sv, seg_idx, 0)
-        b_of = f_start // L
-        p_start = f_start - b_of * L
-        p_end = jnp.minimum(p_start + Q, L)
 
-        # fast path: run-start segments past the read head seed from the
-        # trusted predecessor's post-close slide state
-        run_start = jnp.take(is_start.reshape(-1), f_start)
-        x_prev = jnp.take(emit.reshape(-1), jnp.maximum(f_start - 1, 0))
-        fast = sv & run_start & (p_start >= k) & (x_prev >= 0)
-        pair0 = jnp.take(ck, jnp.where(fast, x_prev, 0), axis=0)
-        j0 = jnp.where(fast, p_start, jnp.maximum(p_start - (k - 1), 0))
-        lo0 = jnp.where(fast, pair0[:, 0], 0)
-        hi0 = jnp.where(fast, pair0[:, 1], n_nodes - 1)
-        ks0 = jnp.where(fast, p_start - k + 1, j0)
-        arangeK = jnp.arange(K_seg, dtype=jnp.int32)
-
-        def body(st):
-            j, ks, lo, hi, rec, wx, wy, active, buf_e, buf_c = st
-            fj = b_of * L + jnp.minimum(j, L - 1)
-            pc = jnp.where(active, jnp.take(pk, fj), 0)
-            c = pc & 0xFF
-            # retire lanes that walked past their payload or onto a
-            # trusted position (recovering lanes sit on untrusted ones)
-            active = active & (j < p_end) & ((j <= p_start) | (pc >= 256))
-            invalid = active & (c > 3)
-            mid = active & (rec > 0)  # rec: 0 none, 1 fresh drop, 2 hopping
-
-            # --- recovery: plateau-jump drops + LCS-widening hops ------
-            # Suffix lengths inside one LCS plateau share the interval,
-            # so the one-at-a-time drop loop (ref common.hh:116-127)
-            # re-fails the identical extension until the next plateau;
-            # jumping straight to max(LCS[lo], LCS[hi+1]) -- the largest
-            # length that changes the interval -- is output-equivalent
-            # and visits only distinct intervals (~3-5 per failure vs up
-            # to k). The jump length comes free from the first hop
-            # gathers. Two hop rounds per iteration; a deeper widen
-            # stalls its lane one more iteration (the round-4 form ran
-            # widen_interval's two inner while_loops here: ~190 us fixed
-            # overhead per while iteration on v5e, see bench_micro).
-            def hop_branch(ops):
-                x, y, ks_in = ops
-                el0 = jnp.take(jl, jnp.where(mid, x, 0))
-                er0 = jnp.take(jr, jnp.where(mid, y, 0))
-                lcsL = (el0 & jnp.uint32(0xFF)).astype(jnp.int32)
-                lcsR = (er0 & jnp.uint32(0xFF)).astype(jnp.int32)
-                fresh = mid & (rec == 1)
-                nlen = jnp.where(fresh, jnp.maximum(lcsL, lcsR), j - ks_in)
-                ks2 = jnp.where(fresh, j - nlen, ks_in)
-                hl = mid & (x > 0) & (lcsL >= nlen)
-                x = jnp.where(hl, x - (el0 >> jnp.uint32(8)).astype(jnp.int32), x)
-                hr = mid & (y < n_nodes) & (lcsR >= nlen)
-                y = jnp.where(hr, y + (er0 >> jnp.uint32(8)).astype(jnp.int32), y)
-                if HOP_ROUNDS < 2:
-                    # one jl/jr gather pair per iteration: a lane whose
-                    # widen needs 2+ hops stalls one more iteration
-                    # (rare); halves the hop branch's gather elements
-                    return x, y, hl, hr, ks2, nlen
-                el = jnp.take(jl, jnp.where(mid, x, 0))
-                er = jnp.take(jr, jnp.where(mid, y, 0))
-                hl2 = mid & (x > 0) & ((el & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
-                x = jnp.where(hl2, x - (el >> jnp.uint32(8)).astype(jnp.int32), x)
-                hr2 = mid & (y < n_nodes) & ((er & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
-                y = jnp.where(hr2, y + (er >> jnp.uint32(8)).astype(jnp.int32), y)
-                return x, y, hl2, hr2, ks2, nlen
-
-            def hop_skip(ops):
-                x, y, ks_in = ops
-                f = jnp.zeros_like(mid)
-                return x, y, f, f, ks_in, j - ks_in
-
-            x2, y2, hl, hr, ks_h, nlen = lax.cond(
-                jnp.any(mid), hop_branch, hop_skip, (wx, wy, ks)
+        # Segment compaction: default is ONE mixed loop (per-lane fast
+        # seeding); FINITO_REPAIR_SPLIT=1 compacts the fast-seeded and
+        # preamble classes separately (see the knob comment above for
+        # the measured A/B that picked the default).
+        if REPAIR_SPLIT:
+            prev_ok = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.bool_), emit[:, :-1] >= 0], axis=1
             )
-            zero_len = mid & (nlen <= 0)  # widen to the empty suffix: full
-            done = (mid & ~hl & ~hr) | zero_len
-            still = mid & ~done
-            lo_c = jnp.where(done, jnp.where(zero_len, 0, x2), lo)
-            hi_c = jnp.where(done, jnp.where(zero_len, n_nodes - 1, y2 - 1), hi)
+            fastable = is_start & (jpos >= k) & prev_ok
+            K_slow = max(512, K_seg // 4)
+            idx_fast, n_fast = compact_mask((split & fastable).reshape(-1), K_seg)
+            idx_slow, n_slow = compact_mask((split & ~fastable).reshape(-1), K_slow)
+        else:  # single mixed loop (round-5 pre-split form, kept for A/B)
+            idx_all, n_all = compact_mask(split.reshape(-1), K_seg)
 
-            # --- extension (stalled lanes excluded; completed widens
-            # retry with the same character this iteration) ---
-            can_ext = active & ~still
-            nlo, nhi = upd(jnp.where(invalid, 0, c), lo_c, hi_c)
-            ok = can_ext & ~invalid & (nlo >= 0)
-            fail = can_ext & ~invalid & (nlo < 0)
-            emptied = fail & (ks_h >= j)   # empty suffix failed: consume c
-            start_w = fail & ~emptied      # fresh drop: jump next round
-
-            single = ok & (nlo == nhi)
-            close = ok & (j - ks_h + 1 == k)
-            advance = active & (ok | invalid | emptied)
-            write = advance & (j >= p_start)
-            rank_j = jnp.where(close, nlo, NEG)
-            if aug:
-                sw = jnp.take(suu, jnp.where(single, nlo, 0)).astype(jnp.int32)
-                cand_j = jnp.where(
-                    single,
-                    ((sw & 0xFF) << 25) | ((sw >> 8) << 24) | nlo,
-                    NEG,
-                )
+        def run_class(seg_idx, K_c, T_c, fast_seed):
+            sv = seg_idx >= 0
+            f_start = jnp.where(sv, seg_idx, 0)
+            b_of = f_start // L
+            p_start = f_start - b_of * L
+            p_end = jnp.minimum(p_start + Q, L)
+            if fast_seed:  # True or "mixed" (per-lane select)
+                x_prev = jnp.take(emit.reshape(-1), jnp.maximum(f_start - 1, 0))
+                run_start = jnp.take(is_start.reshape(-1), f_start)
+                fastl = sv & run_start & (p_start >= k) & (x_prev >= 0)
+                pair0 = jnp.take(ck, jnp.where(fastl, x_prev, 0), axis=0)
+                j0 = jnp.where(fastl, p_start, jnp.maximum(p_start - (k - 1), 0))
+                lo0 = jnp.where(fastl, pair0[:, 0], 0)
+                hi0 = jnp.where(fastl, pair0[:, 1], n_nodes - 1)
+                ks0 = jnp.where(fastl, p_start - k + 1, j0)
             else:
-                cand_j = jnp.where(single, nlo, NEG)
-            loc = jnp.where(write, j - p_start, Q)
-            # two scalar scatters: a fused (K, 2)-row scatter measures 6x
-            # slower on v5e (400 vs 125 us/step, see bench_micro)
-            buf_e = buf_e.at[arangeK, loc].set(rank_j, mode="drop")
-            buf_c = buf_c.at[arangeK, loc].set(cand_j, mode="drop")
+                j0 = jnp.maximum(p_start - (k - 1), 0)
+                lo0 = jnp.zeros(K_c, jnp.int32)
+                hi0 = jnp.full(K_c, n_nodes - 1, jnp.int32)
+                ks0 = j0
+            arangeK = jnp.arange(K_c, dtype=jnp.int32)
+            return _run_segments(
+                sv, f_start, b_of, p_start, p_end, j0, ks0, lo0, hi0,
+                arangeK, K_c, T_c,
+            )
 
-            pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
-            lo2 = jnp.where(close, pair[:, 0], jnp.where(ok, nlo, lo_c))
-            hi2 = jnp.where(close, pair[:, 1], jnp.where(ok, nhi, hi_c))
-            lo3 = jnp.where(invalid | emptied, 0, lo2)
-            hi3 = jnp.where(invalid | emptied, n_nodes - 1, hi2)
-            ks2 = jnp.where(close, ks_h + 1, ks_h)
-            ks3 = jnp.where(invalid | emptied, j + 1, ks2)
+        def _run_segments(sv, f_start, b_of, p_start, p_end, j0, ks0, lo0,
+                          hi0, arangeK, K_c, T_c):
+            def body(st):
+                j, ks, lo, hi, rec, wx, wy, active, buf_e, buf_c = st
+                fj = b_of * L + jnp.minimum(j, L - 1)
+                pc = jnp.where(active, jnp.take(pk, fj), 0)
+                c = pc & 0xFF
+                # retire lanes that walked past their payload or onto a
+                # trusted position (recovering lanes sit on untrusted ones)
+                active = active & (j < p_end) & ((j <= p_start) | (pc >= 256))
+                invalid = active & (c > 3)
+                mid = active & (rec > 0)  # rec: 0 none, 1 fresh drop, 2 hopping
 
-            wx2 = jnp.where(start_w, lo_c, jnp.where(still, x2, wx))
-            wy2 = jnp.where(start_w, hi_c + 1, jnp.where(still, y2, wy))
-            rec2 = jnp.where(start_w, 1, jnp.where(still, 2, 0)).astype(jnp.int32)
-            j2 = jnp.where(advance, j + 1, j)
-            return j2, ks3, lo3, hi3, rec2, wx2, wy2, active, buf_e, buf_c
+                # --- recovery: plateau-jump drops + LCS-widening hops ------
+                # Suffix lengths inside one LCS plateau share the interval,
+                # so the one-at-a-time drop loop (ref common.hh:116-127)
+                # re-fails the identical extension until the next plateau;
+                # jumping straight to max(LCS[lo], LCS[hi+1]) -- the largest
+                # length that changes the interval -- is output-equivalent
+                # and visits only distinct intervals (~3-5 per failure vs up
+                # to k). The jump length comes free from the first hop
+                # gathers. Two hop rounds per iteration; a deeper widen
+                # stalls its lane one more iteration (the round-4 form ran
+                # widen_interval's two inner while_loops here: ~190 us fixed
+                # overhead per while iteration on v5e, see bench_micro).
+                def hop_branch(ops):
+                    x, y, ks_in = ops
+                    el0 = jnp.take(jl, jnp.where(mid, x, 0))
+                    er0 = jnp.take(jr, jnp.where(mid, y, 0))
+                    lcsL = (el0 & jnp.uint32(0xFF)).astype(jnp.int32)
+                    lcsR = (er0 & jnp.uint32(0xFF)).astype(jnp.int32)
+                    fresh = mid & (rec == 1)
+                    nlen = jnp.where(fresh, jnp.maximum(lcsL, lcsR), j - ks_in)
+                    ks2 = jnp.where(fresh, j - nlen, ks_in)
+                    hl = mid & (x > 0) & (lcsL >= nlen)
+                    x = jnp.where(hl, x - (el0 >> jnp.uint32(8)).astype(jnp.int32), x)
+                    hr = mid & (y < n_nodes) & (lcsR >= nlen)
+                    y = jnp.where(hr, y + (er0 >> jnp.uint32(8)).astype(jnp.int32), y)
+                    if HOP_ROUNDS < 2:
+                        # one jl/jr gather pair per iteration: a lane whose
+                        # widen needs 2+ hops stalls one more iteration
+                        # (rare); halves the hop branch's gather elements
+                        return x, y, hl, hr, ks2, nlen
+                    el = jnp.take(jl, jnp.where(mid, x, 0))
+                    er = jnp.take(jr, jnp.where(mid, y, 0))
+                    hl2 = mid & (x > 0) & ((el & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
+                    x = jnp.where(hl2, x - (el >> jnp.uint32(8)).astype(jnp.int32), x)
+                    hr2 = mid & (y < n_nodes) & ((er & jnp.uint32(0xFF)).astype(jnp.int32) >= nlen)
+                    y = jnp.where(hr2, y + (er >> jnp.uint32(8)).astype(jnp.int32), y)
+                    return x, y, hl2, hr2, ks2, nlen
 
-        st = (
-            j0,
-            ks0,
-            lo0,
-            hi0,
-            jnp.zeros(K_seg, jnp.int32),
-            jnp.zeros(K_seg, jnp.int32),
-            jnp.zeros(K_seg, jnp.int32),
-            sv,
-            jnp.full((K_seg, Q + 1), NEG, jnp.int32),
-            jnp.full((K_seg, Q + 1), NEG, jnp.int32),
-        )
-        # Fixed-trip scan covers every lane's bounded walk (k-1 preamble
-        # + Q payload + a stall allowance for recovery retries): a
-        # while_loop iteration carries ~190 us of fixed overhead on v5e
-        # where a scan step with the same body costs ~80 (bench_micro),
-        # so the common case never evaluates a dynamic cond. The rare
-        # stall-heavy lanes (clustered drops, deep widens) finish in a
-        # straggler while_loop that usually sees zero active lanes.
-        import os as _os
-        T = int(_os.environ.get('FINITO_REPAIR_T', (k - 1) + Q + 8))
-        st = lax.scan(lambda s, _: (body(s), None), st, None, length=T)[0]
-        st = lax.while_loop(lambda s: jnp.any(s[7]), body, st)
-        jf, buf_e, buf_c = st[0], st[8], st[9]
+                def hop_skip(ops):
+                    x, y, ks_in = ops
+                    f = jnp.zeros_like(mid)
+                    return x, y, f, f, ks_in, j - ks_in
 
-        cols = jnp.arange(Q, dtype=jnp.int32)[None, :]
-        wrote = sv[:, None] & (cols < (jf - p_start)[:, None])
-        idx = jnp.where(wrote, f_start[:, None] + cols, B * L)
-        emit2 = emit.reshape(-1).at[idx].set(buf_e[:, :Q], mode="drop").reshape(B, L)
-        cand2 = cand.reshape(-1).at[idx].set(buf_c[:, :Q], mode="drop").reshape(B, L)
-        return emit2, cand2, n_seg
+                x2, y2, hl, hr, ks_h, nlen = lax.cond(
+                    jnp.any(mid), hop_branch, hop_skip, (wx, wy, ks)
+                )
+                zero_len = mid & (nlen <= 0)  # widen to the empty suffix: full
+                done = (mid & ~hl & ~hr) | zero_len
+                still = mid & ~done
+                lo_c = jnp.where(done, jnp.where(zero_len, 0, x2), lo)
+                hi_c = jnp.where(done, jnp.where(zero_len, n_nodes - 1, y2 - 1), hi)
+
+                # --- extension (stalled lanes excluded; completed widens
+                # retry with the same character this iteration) ---
+                can_ext = active & ~still
+                nlo, nhi = upd(jnp.where(invalid, 0, c), lo_c, hi_c)
+                ok = can_ext & ~invalid & (nlo >= 0)
+                fail = can_ext & ~invalid & (nlo < 0)
+                emptied = fail & (ks_h >= j)   # empty suffix failed: consume c
+                start_w = fail & ~emptied      # fresh drop: jump next round
+
+                single = ok & (nlo == nhi)
+                close = ok & (j - ks_h + 1 == k)
+                advance = active & (ok | invalid | emptied)
+                write = advance & (j >= p_start)
+                rank_j = jnp.where(close, nlo, NEG)
+                if aug:
+                    sw = jnp.take(suu, jnp.where(single, nlo, 0)).astype(jnp.int32)
+                    cand_j = jnp.where(
+                        single,
+                        ((sw & 0xFF) << 25) | ((sw >> 8) << 24) | nlo,
+                        NEG,
+                    )
+                else:
+                    cand_j = jnp.where(single, nlo, NEG)
+                loc = jnp.where(write, j - p_start, Q)
+                # two scalar scatters: a fused (K, 2)-row scatter measures 6x
+                # slower on v5e (400 vs 125 us/step, see bench_micro)
+                buf_e = buf_e.at[arangeK, loc].set(rank_j, mode="drop")
+                buf_c = buf_c.at[arangeK, loc].set(cand_j, mode="drop")
+
+                pair = jnp.take(ck, jnp.where(close, nlo, 0), axis=0)
+                lo2 = jnp.where(close, pair[:, 0], jnp.where(ok, nlo, lo_c))
+                hi2 = jnp.where(close, pair[:, 1], jnp.where(ok, nhi, hi_c))
+                lo3 = jnp.where(invalid | emptied, 0, lo2)
+                hi3 = jnp.where(invalid | emptied, n_nodes - 1, hi2)
+                ks2 = jnp.where(close, ks_h + 1, ks_h)
+                ks3 = jnp.where(invalid | emptied, j + 1, ks2)
+
+                wx2 = jnp.where(start_w, lo_c, jnp.where(still, x2, wx))
+                wy2 = jnp.where(start_w, hi_c + 1, jnp.where(still, y2, wy))
+                rec2 = jnp.where(start_w, 1, jnp.where(still, 2, 0)).astype(jnp.int32)
+                j2 = jnp.where(advance, j + 1, j)
+                return j2, ks3, lo3, hi3, rec2, wx2, wy2, active, buf_e, buf_c
+
+            st = (
+                j0,
+                ks0,
+                lo0,
+                hi0,
+                jnp.zeros(K_c, jnp.int32),
+                jnp.zeros(K_c, jnp.int32),
+                jnp.zeros(K_c, jnp.int32),
+                sv,
+                jnp.full((K_c, Q + 1), NEG, jnp.int32),
+                jnp.full((K_c, Q + 1), NEG, jnp.int32),
+            )
+            # Fixed-trip scan covers the class's bounded walk (payload,
+            # plus the k-1 preamble for the slow class, plus a stall
+            # allowance for recovery retries): a while_loop iteration
+            # carries ~190 us of fixed overhead on v5e where a scan step
+            # with the same body costs ~80 (bench_micro), so the common
+            # case never evaluates a dynamic cond. The rare stall-heavy
+            # lanes (clustered drops, deep widens) finish in a straggler
+            # while_loop that usually sees zero active lanes.
+            st = lax.scan(lambda s, _: (body(s), None), st, None, length=T_c)[0]
+            st = lax.while_loop(lambda s: jnp.any(s[7]), body, st)
+            jf, buf_e, buf_c = st[0], st[8], st[9]
+            cols = jnp.arange(Q, dtype=jnp.int32)[None, :]
+            wrote = sv[:, None] & (cols < (jf - p_start)[:, None])
+            idx = jnp.where(wrote, f_start[:, None] + cols, B * L)
+            return idx, buf_e[:, :Q], buf_c[:, :Q]
+
+        stall = int(_os.environ.get("FINITO_REPAIR_STALL", "8"))
+        if REPAIR_SPLIT:
+            i1, be1, bc1 = run_class(idx_fast, K_seg, Q + stall, True)
+            i2, be2, bc2 = run_class(idx_slow, K_slow, (k - 1) + Q + stall, False)
+            emit2 = (
+                emit.reshape(-1)
+                .at[i1].set(be1, mode="drop")
+                .at[i2].set(be2, mode="drop")
+                .reshape(B, L)
+            )
+            cand2 = (
+                cand.reshape(-1)
+                .at[i1].set(bc1, mode="drop")
+                .at[i2].set(bc2, mode="drop")
+                .reshape(B, L)
+            )
+            # single capacity contract: valid iff n_fast <= K_seg AND
+            # n_slow <= K_slow; fold both into one reported count so the
+            # caller's "n_seg <= K" check and frac-resize keep working
+            n_rep = jnp.maximum(
+                n_fast, (n_slow * K_seg + K_slow - 1) // K_slow
+            )
+            return emit2, cand2, n_rep
+        i1, be1, bc1 = run_class(idx_all, K_seg, (k - 1) + Q + stall, "mixed")
+        emit2 = emit.reshape(-1).at[i1].set(be1, mode="drop").reshape(B, L)
+        cand2 = cand.reshape(-1).at[i1].set(bc1, mode="drop").reshape(B, L)
+        return emit2, cand2, n_all
+
 
     return run
 

@@ -189,13 +189,15 @@ def test_stream_chunked_matches_unchunked(chunk):
 
 @pytest.mark.parametrize("mode", ["stream", "replica"])
 def test_engine_long_reads_trigger_auto_chunk(mode):
-    """Reads longer than the auto chunk (~max(2k, 48)) exercise the
-    chunked chain inside DeviceQueryEngine; oracle is the arbiter."""
+    """An explicit chunk shorter than the reads exercises the chunked
+    chain inside DeviceQueryEngine (auto_chunk now always scans whole
+    reads -- unchunked wins at every measured batch, SWEEP_lanes.json);
+    the oracle is the arbiter."""
     rng = np.random.default_rng(54)
     k = 10
     unitigs = gen_dspss(rng, 10, 70, 120, k)
     index = build_index(unitigs, k)
-    engine = DeviceQueryEngine(index, mode=mode)
+    engine = DeviceQueryEngine(index, mode=mode, chunk=24)
     reads = []
     for _ in range(6):
         u = unitigs[int(rng.integers(len(unitigs)))]
@@ -234,4 +236,27 @@ def test_one_hop_round_output_equal(monkeypatch, mode):
     for q in reads:
         got = engine.search_fwd_rc(q.encode())[0]
         want = index.search(q.encode())
+        assert got.local_offsets == want.local_offsets, q
+
+
+@pytest.mark.parametrize("mode", ["stream", "replica"])
+def test_two_class_repair_output_equal(monkeypatch, mode):
+    """FINITO_REPAIR_SPLIT=1 (separate fast/preamble segment loops)
+    must be output-identical to the default single mixed loop."""
+    monkeypatch.setenv("FINITO_REPAIR_SPLIT", "1")
+    rng = np.random.default_rng(777)
+    k = 11
+    unitigs = gen_dspss(rng, 12, 40, 80, k)
+    index = build_index(unitigs, k)
+    engine = DeviceQueryEngine(index, mode=mode)
+    genome = "".join(unitigs)
+    L = 64
+    for _ in range(16):
+        a = int(rng.integers(0, len(genome) - L))
+        s = list(genome[a : a + L])
+        for _m in range(int(rng.integers(0, 6))):
+            s[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        q = "".join(s).encode()
+        got = engine.search_fwd_rc(q)[0]
+        want = index.search(q)
         assert got.local_offsets == want.local_offsets, q
