@@ -34,6 +34,10 @@ def main():
     p.add_argument("--read-len", type=int, default=128)
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--trials", type=int, default=3)
+    p.add_argument("--slow-frac", type=float, default=0.08,
+                   help="initial slow-path capacity as a fraction of B*W "
+                   "(generous start: every capacity growth recompiles a "
+                   "~minutes-long program through the TPU tunnel)")
     p.add_argument("--engines", default="v2",
                    help="comma list of v1,v2 to measure at each h")
     p.add_argument("--cache-dir", default=os.path.join(
@@ -42,7 +46,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/finito_jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(args.cache_dir, "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from finito_tpu.index.minimizer import MinimizerIndex
@@ -88,6 +93,7 @@ def main():
         for eng in args.engines.split(","):
             use_v2 = eng == "v2"
             K, KH = initial_capacities(B * W, use_v2)
+            K = max(K, int(args.slow_frac * B * W))
             reads_dev = jax.device_put(jnp.asarray(reads))
             while True:
                 f = (make_minimizer_locate_v2(dmi, K, KH) if use_v2
