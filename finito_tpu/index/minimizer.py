@@ -204,6 +204,14 @@ class MinimizerIndex:
         # fraction is ~the window-weighted load factor (A/B-measured
         # 44.7 M q/s at 32x vs 23 M at 4x on 400kbp; flat beyond 32x),
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
+        # The h <= 28 cap bounds the descriptor at 2 GB; scripts/
+        # h_sweep.py measures the qps-vs-h tradeoff at genome scale
+        # (rebucket() re-derives any h from one serialized midx). A
+        # round-5 16 Mbp sweep at h in {24, 25, 26} was attempted twice
+        # on 2026-08-20 but the dev box's TPU tunnel degraded mid-sweep
+        # both times (transfers stalling; see also bench.py's device
+        # probe guard), so slot_factor=32 stands on the 400 kbp A/B
+        # plus BENCH_r04's 16 Mbp rung (31.8 M q/s at h=26).
         h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
