@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from finito_tpu.ops.rank24 import update_interval24, widen_interval
+from finito_tpu.ops.rank24 import update_interval24
 
 UNKNOWN = -2
 
@@ -154,10 +154,10 @@ def chunk_reads(codes, k: int, C: int):
     discarded overlap. Trusted chunk values are self-certifying: a
     mature close IS the k-mer's interval computed from the empty string,
     and a mature failure IS an empty k-mer interval, regardless of what
-    the full-read chain tracked there. Chunking therefore shortens the
-    sequential scan ~L/C times at the cost of (C/(C-k+1))x gather
-    elements -- a win whenever the scan is latency- not
-    throughput-bound (measured: it is, see bench_micro)."""
+    the full-read chain tracked there. Chunking shortens the sequential
+    scan ~L/C times at the cost of (C/(C-k+1))x gather elements -- a
+    win only when the scan is latency- not throughput-bound, which on
+    the v5e it no longer is (SWEEP_lanes.json; auto_chunk returns 0)."""
     B, L = codes.shape
     if not (k <= C <= L):
         raise ValueError(f"need k <= chunk <= L (k={k}, chunk={C}, L={L})")
@@ -613,40 +613,6 @@ def make_segment_repair(
         cand2 = cand.reshape(-1).at[i1].set(bc1, mode="drop").reshape(B, L)
         return emit2, cand2, n_all
 
-
-    return run
-
-
-def make_window_verifier(n8: int, k: int, n_nodes: int):
-    """Phase B. run(tab, C, codes_flat, starts, valid): verify a compacted
-    set of windows by plain extension with early exit. starts are flat
-    offsets (start = lane*L + s). Returns (K,) rank/-1."""
-
-    def run(tab, C, codes_flat, starts, valid):
-        def upd(c, lo, hi):
-            return update_interval24(tab, n8, C, c, lo, hi)
-
-        K = starts.shape[0]
-        lo = jnp.zeros(K, jnp.int32)
-        hi = jnp.full(K, n_nodes - 1, jnp.int32)
-
-        def cond(st):
-            j, lo, hi, active = st
-            return (j < k) & jnp.any(active)
-
-        def body(st):
-            j, lo, hi, active = st
-            c = jnp.take(codes_flat, starts + j).astype(jnp.int32)
-            nlo, nhi = upd(c, lo, hi)
-            lo2 = jnp.where(active, nlo, lo)
-            hi2 = jnp.where(active, nhi, hi)
-            return j + 1, lo2, hi2, active & (nlo >= 0)
-
-        j, lo, hi, active = lax.while_loop(
-            cond, body, (jnp.int32(0), lo, hi, valid)
-        )
-        # survived all k steps with nonempty interval -> rank
-        return jnp.where(valid & (lo >= 0) & (j == k), lo, -1)
 
     return run
 
