@@ -206,12 +206,14 @@ class MinimizerIndex:
         # at ~15 bytes/base of HBM -- sharded over tp at pangenome scale.
         # The h <= 28 cap bounds the descriptor at 2 GB; scripts/
         # h_sweep.py measures the qps-vs-h tradeoff at genome scale
-        # (rebucket() re-derives any h from one serialized midx). A
-        # round-5 16 Mbp sweep at h in {24, 25, 26} was attempted twice
-        # on 2026-08-20 but the dev box's TPU tunnel degraded mid-sweep
-        # both times (transfers stalling; see also bench.py's device
-        # probe guard), so slot_factor=32 stands on the 400 kbp A/B
-        # plus BENCH_r04's 16 Mbp rung (31.8 M q/s at h=26).
+        # (rebucket() re-derives any h from one serialized midx). The
+        # round-5 16 Mbp TPU sweep (SWEEP_h.json, 2026-08-20, h in
+        # 22..26) confirmed the policy: qps RISES with h (12.9 M at
+        # h=22/32 MB descriptor -> 14.4 M at h=26/512 MB, same harness)
+        # because the v2 run-dedup engine touches the descriptor once
+        # per minimizer run, so the slow-window fraction (0.0442 ->
+        # 0.004 across the sweep), not descriptor residency, governs.
+        # slot_factor=32 (h=26 at 16 Mbp) stands as measured optimum.
         h = max(4, min(28, int(np.ceil(np.log2(max(16, slot_factor * max(1, pos.size)))))))
         slots = (slot32(key) >> np.uint32(32 - h)).astype(np.int64)
         order = native.argsort_u64((slots.astype(np.uint64) << np.uint64(32)) | key)
